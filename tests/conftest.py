@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-device virtual CPU mesh and float64.
+
+Multi-device sharding (Mesh/shard_map/psum paths) is exercised on CPU using
+XLA's host-platform device-count override, so the full multi-chip code path
+compiles and runs without TPU hardware.
+"""
+
+import os
+
+# Must be set before JAX initializes its backends.
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
