@@ -7,8 +7,11 @@ compiles and runs without TPU hardware.
 
 import os
 
-# Must be set before JAX initializes its backends.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Must be set before JAX initializes its backends. Force-override: the
+# session environment may preset JAX_PLATFORMS to a TPU plugin, but unit
+# tests must run on the virtual 8-device CPU mesh (fast compiles,
+# reference-grade f64 transcendentals).
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
