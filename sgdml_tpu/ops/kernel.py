@@ -220,6 +220,12 @@ def _assemble_jit(
     n_total_j = m_pad_j * dim_i if not use_E_cstr else m_pad_j * dim_i + m_pad_j
     K0 = jnp.zeros((n_total, n_total_j), dtype=X.dtype)
 
+    if use_E_cstr:
+        # Row-side permuted tables and column-side plain tables, padded once.
+        Xp_r = jnp.pad(Xp, ((0, m_pad_i - m), (0, 0), (0, 0)))
+        Jcp_r = jnp.pad(Jcp, ((0, m_pad_i - m), (0, 0), (0, 0), (0, 0)))
+        X_c = jnp.pad(X, ((0, m_pad_j - m), (0, 0)))
+
     def body(K, idx):
         ti, tj = idx // n_tj, idx % n_tj
         i0 = ti * tile_i
@@ -245,7 +251,7 @@ def _assemble_jit(
 
         if use_E_cstr:
             # Energy rows under force columns: -grad_x k(x_i, x_t)^T J_t.
-            fe = _grad_row_tile(Xi, Xt, sig)  # (TI, TJ*P, 3N)
+            fe = _grad_row_tile(Xi, Xt, Jt, sig)  # (TI, TJ*P, 3N)
             fe = fe.reshape(tile_i, tile_j, n_perms, dim_i).sum(axis=2)
             fe = fe.reshape(tile_i, tile_j * dim_i)
             K = jax.lax.dynamic_update_slice(K, fe, (m_pad_i * dim_i + i0, j0 * dim_i))
@@ -253,23 +259,14 @@ def _assemble_jit(
             # Force rows under energy columns (symmetric counterpart): the
             # column for energy of point j couples to force rows of i via
             # -w(d') d'^T J_i with d' = x_j - x_i^p (perms act on i).
-            Xip = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(Xp, ((0, m_pad_i - m), (0, 0), (0, 0))), i0, tile_i, 0
-            )
-            Jcip = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(Jcp, ((0, m_pad_i - m), (0, 0), (0, 0), (0, 0))),
-                i0,
-                tile_i,
-                0,
-            )
-            Xj = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(X, ((0, m_pad_j - m), (0, 0))), j0, tile_j, 0
-            )
+            Xip = jax.lax.dynamic_slice_in_dim(Xp_r, i0, tile_i, 0)
+            Jcip = jax.lax.dynamic_slice_in_dim(Jcp_r, i0, tile_i, 0)
+            Xj = jax.lax.dynamic_slice_in_dim(X_c, j0, tile_j, 0)
             Jit = expand_perm_jacobian(Jcip, s_perm).reshape(
                 tile_i * n_perms, dim_d, dim_i
             )
             Xit = Xip.reshape(tile_i * n_perms, dim_d)
-            ef = _grad_row_tile(Xj, Xit, sig)  # (TJ, TI*P, 3N)
+            ef = _grad_row_tile(Xj, Xit, Jit, sig)  # (TJ, TI*P, 3N)
             ef = ef.reshape(tile_j, tile_i, n_perms, dim_i).sum(axis=2)
             ef = ef.transpose(1, 2, 0).reshape(tile_i * dim_i, tile_j)
             K = jax.lax.dynamic_update_slice(K, ef, (i0 * dim_i, m_pad_j * dim_i + j0))
