@@ -1,0 +1,255 @@
+"""File schemas, fingerprints and artifact naming.
+
+On-disk formats are dict-of-ndarray ``.npz`` files discriminated by a
+``type`` key — ``'d'`` dataset / ``'t'`` task / ``'m'`` model — with the
+same key layout as the reference implementation (sgdml/utils/io.py), so
+datasets and models are interchangeable between frameworks. The MD5
+fingerprint algorithm matches the reference exactly
+(sgdml/utils/io.py:208-230): provenance hashes agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import numpy as np
+
+# Element symbol <-> nuclear charge tables (standard periodic table).
+_Z_STR = (
+    'X H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe '
+    'Co Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In Sn '
+    'Sb Te I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf Ta W '
+    'Re Os Ir Pt Au Hg Tl Pb Bi Po At Rn Fr Ra Ac Th Pa U Np Pu Am Cm Bk Cf '
+    'Es Fm Md No Lr Rf Db Sg Bh Hs Mt Ds Rg Cn Nh Fl Mc Lv Ts Og'
+).split()
+
+Z_TO_SYMBOL = {z: s for z, s in enumerate(_Z_STR)}
+SYMBOL_TO_Z = {s: z for z, s in enumerate(_Z_STR)}
+
+
+def dataset_md5(dataset: dict) -> bytes:
+    """MD5 fingerprint over ``z, R, [E], F`` (matches the reference's
+    algorithm, sgdml/utils/io.py:208-230, for cross-framework provenance)."""
+    md5_hash = hashlib.md5()
+    keys = ['z', 'R']
+    if 'E' in dataset:
+        keys.append('E')
+    keys.append('F')
+    for k in keys:
+        d = dataset[k]
+        if isinstance(d, np.ndarray):
+            d = np.ascontiguousarray(d).ravel()
+        md5_hash.update(hashlib.md5(d).digest())
+    return md5_hash.hexdigest().encode('utf-8')
+
+
+def train_dir_name(dataset, n_train, use_sym, use_E, use_E_cstr) -> str:
+    """Deterministic training-run directory name (parity:
+    sgdml/utils/io.py:162-180)."""
+    theory = re.sub(r'[^\w\-_\.]', '.', str(np.asarray(dataset['theory']).item()
+                                             if hasattr(dataset['theory'], 'item')
+                                             else dataset['theory']))
+    theory = re.sub(r'\.\.', '.', theory)
+    parts = '-sym' if use_sym else ''
+    parts += '' if use_E else '-noE'
+    parts += '-Ecstr' if use_E_cstr else ''
+    name = np.asarray(dataset['name']).astype(str)
+    name = name.item() if name.ndim == 0 else str(name)
+    return 'sgdml_cv_%s-%s-train%d%s' % (name, theory, n_train, parts)
+
+
+def task_file_name(task: dict) -> str:
+    n_train = task['idxs_train'].shape[0]
+    n_perms = task['perms'].shape[0]
+    sig = np.squeeze(task['sig'])
+    return 'task-train%d-sym%d-sig%04d.npz' % (n_train, n_perms, sig)
+
+
+def model_file_name(task_or_model: dict, is_extended: bool = False) -> str:
+    n_train = task_or_model['idxs_train'].shape[0]
+    n_perms = task_or_model['perms'].shape[0]
+    sig = np.squeeze(task_or_model['sig'])
+    if is_extended:
+        dataset = np.squeeze(task_or_model['dataset_name'])
+        theory = re.sub(
+            r'[^\w\-_\.]', '.', str(np.squeeze(task_or_model['dataset_theory']))
+        )
+        theory = re.sub(r'\.\.', '.', theory)
+        return '%s-%s-train%d-sym%d.npz' % (dataset, theory, n_train, n_perms)
+    return 'model-train%d-sym%d-sig%04d.npz' % (n_train, n_perms, sig)
+
+
+def load_dict(path: str) -> dict:
+    """Load an npz artifact into a plain dict (0-d object arrays unwrapped
+    where the reference stores scalars)."""
+    with np.load(path, allow_pickle=True) as handle:
+        out = dict(handle)
+    for k, v in out.items():
+        if isinstance(v, np.ndarray) and v.ndim == 0:
+            out[k] = v[()] if v.dtype == object else v.item()
+    return out
+
+
+def save_dict(path: str, data: dict):
+    np.savez_compressed(path, **data)
+
+
+def artifact_type(data: dict) -> str:
+    t = data.get('type')
+    if isinstance(t, bytes):
+        t = t.decode()
+    if isinstance(t, np.ndarray):
+        t = str(np.squeeze(t).item() if t.ndim == 0 else t)
+    return str(t)
+
+
+def is_dataset(data) -> bool:
+    return artifact_type(data) == 'd'
+
+
+def is_task(data) -> bool:
+    return artifact_type(data) == 't'
+
+
+def is_model(data) -> bool:
+    return artifact_type(data) == 'm'
+
+
+def validate_dataset(dataset: dict):
+    """Schema check for dataset dicts (reference: sgdml/utils/io.py:327-411)."""
+    if not is_dataset(dataset):
+        raise ValueError("Not a dataset ('type' != 'd').")
+    for key in ('z', 'R', 'F', 'name'):
+        if key not in dataset:
+            raise ValueError("Dataset is missing key '%s'." % key)
+    R, F, z = dataset['R'], dataset['F'], dataset['z']
+    if R.ndim != 3 or R.shape[2] != 3:
+        raise ValueError('R must have shape (n_geoms, n_atoms, 3).')
+    if F.shape != R.shape:
+        raise ValueError('F must match the shape of R.')
+    if z.shape[0] != R.shape[1]:
+        raise ValueError('z length must equal the number of atoms.')
+    if 'E' in dataset and dataset['E'].shape[0] != R.shape[0]:
+        raise ValueError('E must have one entry per geometry.')
+    if 'lattice' in dataset:
+        lat = dataset['lattice']
+        if lat.shape != (3, 3):
+            raise ValueError('lattice must be 3x3 (vectors as columns).')
+        if abs(np.linalg.det(lat)) < 1e-12:
+            raise ValueError('lattice vectors are not invertible.')
+    return dataset
+
+
+def read_xyz(path: str):
+    """Read a (multi-frame) xyz file -> (R (n, 3N), z (N,))."""
+    R, z = [], []
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = 0
+    n_atoms = None
+    first = True
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n_atoms = int(lines[i].strip().split()[0])
+        frame = lines[i + 2 : i + 2 + n_atoms]
+        for row in frame:
+            cols = row.split()
+            R.append([float(c) for c in cols[1:4]])
+            if first:
+                z.append(SYMBOL_TO_Z[cols[0]])
+        first = False
+        i += 2 + n_atoms
+    R = np.array(R).reshape(-1, 3 * n_atoms)
+    return R, np.array(z)
+
+
+def write_xyz(path: str, r, z, comment: str = ''):
+    r = np.asarray(r).reshape(-1, 3)
+    with open(path, 'w') as f:
+        f.write('%d\n%s' % (len(r), comment))
+        for zi, row in zip(z, r):
+            f.write('\n%s\t%s' % (Z_TO_SYMBOL[int(zi)], '\t'.join(str(x) for x in row)))
+
+
+def generate_xyz_str(r, z, e=None, f=None, lattice=None) -> str:
+    """Extended-xyz frame string (reference: sgdml/utils/io.py:278-300)."""
+    comment = ''
+    if lattice is not None:
+        comment += 'Lattice="{}" '.format(
+            ' '.join('{:.12g}'.format(v) for v in np.asarray(lattice).T.ravel())
+        )
+    if e is not None:
+        comment += 'Energy={:.12g} '.format(float(e))
+    comment += 'Properties=species:S:1:pos:R:3'
+    if f is not None:
+        comment += ':forces:R:3'
+    r = np.asarray(r).reshape(-1, 3)
+    f_arr = None if f is None else np.asarray(f).reshape(-1, 3)
+    lines = ['%d' % len(r), comment]
+    for i, (zi, row) in enumerate(zip(z, r)):
+        cells = [Z_TO_SYMBOL[int(zi)]] + ['%.12g' % x for x in row]
+        if f_arr is not None:
+            cells += ['%.12g' % x for x in f_arr[i]]
+        lines.append('\t'.join(cells))
+    return '\n'.join(lines)
+
+
+def lattice_vec_to_par(lat):
+    """Lattice vectors (columns) -> (lengths, angles) in degrees."""
+    lat = np.asarray(lat).T
+    lengths = [float(np.linalg.norm(v)) for v in lat]
+    angles = []
+    for i in range(3):
+        j, k = i - 1, i - 2
+        ll = lengths[j] * lengths[k]
+        if ll > 1e-16:
+            x = np.dot(lat[j], lat[k]) / ll
+            angles.append(float(180.0 / np.pi * np.arccos(np.clip(x, -1, 1))))
+        else:
+            angles.append(90.0)
+    return lengths, angles
+
+
+def parse_list_or_range(arg: str):
+    """Parse '1,2,3' or '0:5:100' CLI range arguments
+    (reference: sgdml/utils/io.py:667-708)."""
+    if re.match(r'^\d+$', arg):
+        return int(arg)
+    if re.match(r'^[\d,]+$', arg):
+        return [int(x) for x in arg.split(',') if x != '']
+    m = re.match(r'^(\d+):(\d+):(\d+)$', arg)
+    if m:
+        start, step, stop = (int(m.group(i)) for i in (1, 2, 3))
+        return list(range(start, stop + 1, step))
+    raise ValueError("'%s' is not an integer, list, or range (start:step:stop)" % arg)
+
+
+def is_task_dir_resumable(
+    task_dir, train_dataset, valid_dataset, n_train, n_valid, sigs, use_E_cstr
+):
+    """Check that an existing task directory matches the requested run
+    configuration, so training can resume (reference: io.py:572-636)."""
+    md5_train = dataset_md5(train_dataset)
+    md5_valid = dataset_md5(valid_dataset)
+    names = [n for n in os.listdir(task_dir) if n.startswith('task-')]
+    found_sigs = set()
+    for name in names:
+        try:
+            task = load_dict(os.path.join(task_dir, name))
+        except Exception:
+            return False
+        if (
+            task.get('md5_train') != md5_train
+            or task.get('md5_valid') != md5_valid
+            or task['idxs_train'].shape[0] != n_train
+            or task['idxs_valid'].shape[0] != n_valid
+            or bool(task.get('use_E_cstr', False)) != use_E_cstr
+        ):
+            return False
+        found_sigs.add(int(np.squeeze(task['sig'])))
+    return found_sigs == set(int(s) for s in sigs) if names else False

@@ -18,6 +18,13 @@ if '--xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
 
+import jax
+
+# The execution environment may force-register a TPU plugin via
+# sitecustomize, ignoring JAX_PLATFORMS from the environment — override at
+# the config level too.
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np
 import pytest
 
