@@ -83,52 +83,17 @@ def gen_kernel():
 
 
 def gen_train_predict():
-    """End-to-end reference training + prediction on a synthetic dataset."""
+    """End-to-end reference training + prediction on a synthetic MD
+    trajectory (same generator the test/bench suite uses)."""
     import sgdml.train as ref_train
     from sgdml.predict import GDMLPredict
 
-    rng = np.random.default_rng(2)
-    n_atoms, m_train, m_all = 5, 30, 200
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
 
-    R = synthetic_geoms(rng, m_all, n_atoms, spread=0.15)
-
-    # Synthetic smooth potential: pairwise Morse-like energy (host numpy),
-    # with equilibrium distances taken from the first geometry so labels
-    # stay O(1).
-    r0_mat = np.linalg.norm(R[0][:, None] - R[0][None, :], axis=-1)
-
-    def energy_forces(R):
-        E = np.zeros(R.shape[0])
-        F = np.zeros_like(R)
-        for a in range(n_atoms):
-            for b in range(a):
-                d = R[:, a] - R[:, b]
-                r = np.linalg.norm(d, axis=1)
-                r0 = r0_mat[a, b]
-                e = (1 - np.exp(-(r - r0))) ** 2
-                E += e
-                dEdr = 2 * (1 - np.exp(-(r - r0))) * np.exp(-(r - r0))
-                f = -dEdr[:, None] * d / r[:, None]
-                F[:, a] += f
-                F[:, b] -= f
-        return E, F
-
-    E, F = energy_forces(R)
-
-    dataset = {
-        'type': 'd',
-        'code_version': '1.0.3',
-        'name': np.array('synth5'),
-        'theory': np.array('morse'),
-        'z': np.array([6, 1, 1, 1, 8]),
-        'R': R,
-        'E': E,
-        'F': F,
-        'md5': np.array(''),
-    }
-    from sgdml.utils import io as ref_io
-
-    dataset['md5'] = ref_io.dataset_md5(dataset)
+    n_atoms, m_train = 5, 30
+    dataset = generate_md_dataset(n_atoms=n_atoms, n_frames=400, seed=2)
+    R, E, F = dataset['R'], dataset['E'], dataset['F']
 
     import sgdml.train as rt
 
