@@ -192,6 +192,22 @@ def generate_symmetric_md_dataset(n_frames: int = 800, seed: int = 0):
             energies.append(e)
             forces.append(f.copy())
 
+    # Real MD visits symmetry-equivalent basins (e.g. methyl rotations at
+    # 500 K); emulate that by relabeling a random subset of frames with
+    # exact group elements. Atoms: [C0, C1, H(C0) x3, H(C1) x3].
+    # The field's symmetry group (order 6): swap the two CH3 units, and
+    # correlated C3 rotations of both H triples.
+    swap = np.array([1, 0, 5, 6, 7, 2, 3, 4])
+    rot = np.array([0, 1, 3, 4, 2, 6, 7, 5])
+    group = [np.arange(8), rot, rot[rot], swap, swap[rot], swap[rot[rot]]]
+
+    frames = np.array(frames)
+    forces = np.array(forces)
+    for i in range(len(frames)):
+        g = group[rng.integers(len(group))]
+        frames[i] = frames[i][g]
+        forces[i] = forces[i][g]
+
     dataset = {
         'type': 'd',
         'code_version': '0.1.0',

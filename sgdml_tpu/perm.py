@@ -1,0 +1,194 @@
+"""Permutation-symmetry discovery (the "s" in sGDML) — host-side.
+
+Finds the physical symmetry group of a molecule from trajectory data in
+three stages (behavioral parity with reference sgdml/utils/perm.py:53-412):
+
+1. **Bipartite matching**: for every geometry pair, match atoms by the
+   overlap of adjacency-matrix eigenvectors (Hungarian algorithm) with a
+   same-species penalty; keep matches that lower the adjacency distance.
+2. **Permutation synchronization**: restrict to the minimum spanning tree
+   of match costs to remove inconsistent matches.
+3. **Transitive closure** to a group (capped at 100 elements), with a
+   "salvage largest consistent subgroup" fallback when closure diverges.
+
+This stage is run-once, tiny and irregular — exactly the kind of work that
+belongs on the host CPU. Its output (the permutation table) becomes a
+*static* constant baked into the jitted TPU kernels, which is why nothing
+here needs to be device code. Unlike the reference there are no forked
+worker pools or shared RawArrays: the pairwise cost computation is
+vectorized with BLAS-backed einsums; only the Hungarian solve remains a
+per-pair scipy call.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import scipy.optimize
+import scipy.sparse
+from scipy.sparse.csgraph import minimum_spanning_tree
+
+log = logging.getLogger(__name__)
+
+MAX_PERMS = 100
+
+
+def inv_perm(perm: np.ndarray) -> np.ndarray:
+    """Inverse permutation (reference: sgdml/utils/perm.py:1035)."""
+    inv = np.empty_like(np.asarray(perm))
+    inv[perm] = np.arange(len(perm))
+    return inv
+
+
+def _adjacency_eigenvectors(R: np.ndarray, lat_and_inv=None):
+    """Per-geometry pairwise-distance matrices and their sorted
+    eigenvectors (descending eigenvalue order)."""
+    diff = R[:, :, None, :] - R[:, None, :, :]
+    if lat_and_inv is not None:
+        lat, lat_inv = lat_and_inv
+        c = np.einsum('ij,bnmj->bnmi', lat_inv, diff)
+        diff = diff - np.einsum('ij,bnmj->bnmi', lat, np.round(c))
+    adj = np.linalg.norm(diff, axis=-1)
+    w, v = np.linalg.eigh(adj)  # symmetric: eigh (ascending order)
+    v = v[:, :, ::-1]  # descending eigenvalue order
+    return adj, np.abs(v)
+
+
+def bipartite_match(R, z, lat_and_inv=None, max_processes=None, callback=None):
+    """Pairwise atom matching across all geometry pairs.
+
+    Returns
+    -------
+    match_perms_all: dict ``(i, j) -> perm`` for non-identity improving
+        matches.
+    match_cost: dense symmetric cost matrix (inf diagonal) used for MST
+        synchronization.
+    """
+    R = np.asarray(R)
+    z = np.asarray(z)
+    n_train, n_atoms = R.shape[:2]
+
+    same_z_cost = (z[:, None] - z[None, :]) != 0
+
+    adj, v = _adjacency_eigenvectors(R, lat_and_inv)
+
+    match_cost = np.zeros((n_train, n_train))
+    match_perms_all = {}
+    for i in range(n_train):
+        # Cost tensor against all later geometries in one einsum.
+        cost_all = -np.einsum('nk,jmk->jnm', v[i], v[i + 1 :])
+        for oj, j in enumerate(range(i + 1, n_train)):
+            cost = cost_all[oj] + same_z_cost * np.max(np.abs(cost_all[oj]))
+            _, perm = scipy.optimize.linear_sum_assignment(cost)
+
+            adj_i_perm = adj[i][np.ix_(perm, perm)]
+            score_before = np.linalg.norm(adj[i] - adj[j])
+            score = np.linalg.norm(adj_i_perm - adj[j])
+
+            match_cost[i, j] = min(score, score_before)
+            if score < score_before and not np.isclose(score_before, score):
+                match_perms_all[(i, j)] = perm
+        if callback is not None:
+            callback(i + 1, n_train)
+
+    match_cost = match_cost + match_cost.T
+    match_cost[np.diag_indices_from(match_cost)] = np.inf
+    return match_perms_all, scipy.sparse.csr_matrix(match_cost)
+
+
+def sync_perm_mat(match_perms_all, match_cost, n_atoms):
+    """Keep only matches on the minimum spanning tree of pair costs
+    (permutation synchronization; reference perm.py:238-259)."""
+    tree = minimum_spanning_tree(match_cost, overwrite=True)
+    perms = np.arange(n_atoms, dtype=int)[None, :]
+    rows, cols = tree.nonzero()
+    for edge in zip(rows, cols):
+        perm = match_perms_all.get(edge)
+        if perm is not None:
+            perms = np.vstack((perms, perm))
+    return np.unique(perms, axis=0)
+
+
+def to_cycles(perm) -> list:
+    """Disjoint-cycle decomposition of a permutation."""
+    remaining = {i: p for i, p in enumerate(perm)}
+    cycles = []
+    while remaining:
+        start = next(iter(remaining))
+        cycle = []
+        cur = start
+        while cur in remaining:
+            nxt = remaining.pop(cur)
+            cycle.append(nxt)
+            cur = nxt
+        cycles.append(cycle)
+    return cycles
+
+
+def salvage_subgroup(perms: np.ndarray) -> np.ndarray:
+    """Drop permutations whose cycles overlap with larger cycles elsewhere —
+    used when transitive closure diverges (reference perm.py:289-341)."""
+    n_perms = perms.shape[0]
+    all_long = []
+    for i in range(n_perms):
+        all_long += [cy for cy in to_cycles(list(perms[i])) if len(cy) > 1]
+
+    def intersects_larger(cy):
+        return any(
+            len(cy) < len(other) and not set(cy).isdisjoint(other)
+            for other in all_long
+        )
+
+    keep = []
+    for i in range(n_perms):
+        long_cycles = [cy for cy in to_cycles(list(perms[i])) if len(cy) > 1]
+        if not any(intersects_larger(cy) for cy in long_cycles):
+            keep.append(i)
+    return perms[keep]
+
+
+def complete_sym_group(perms: np.ndarray, n_perms_max: int = MAX_PERMS):
+    """Transitive closure under composition; None if it exceeds the cap
+    (reference perm.py:344-381)."""
+    perms = np.asarray(perms)
+    added = True
+    while added:
+        added = False
+        n = perms.shape[0]
+        for i in range(n):
+            for j in range(n):
+                new = perms[i, perms[j]]
+                if not (new == perms).all(axis=1).any():
+                    added = True
+                    perms = np.vstack((perms, new))
+                    if n_perms_max is not None and perms.shape[0] == n_perms_max:
+                        log.warning('Transitive closure of permutations failed.')
+                        return None
+    return perms
+
+
+def find_perms(R, z, lat_and_inv=None, callback=None, max_processes=None):
+    """Discover the molecule's permutation group from geometries ``R``.
+
+    Returns a ``(P, N)`` integer array including the identity.
+    """
+    R = np.asarray(R)
+    if R.ndim == 2:
+        R = R.reshape(R.shape[0], -1, 3)
+    n_atoms = R.shape[1]
+
+    match_perms_all, match_cost = bipartite_match(
+        R, z, lat_and_inv, max_processes, callback=callback
+    )
+    match_perms = sync_perm_mat(match_perms_all, match_cost, n_atoms)
+
+    sym_group_perms = complete_sym_group(match_perms)
+    if sym_group_perms is None:
+        log.info('Closure disaster recovery: salvaging largest subgroup.')
+        sym_group_perms = complete_sym_group(salvage_subgroup(match_perms))
+        if sym_group_perms is None:
+            sym_group_perms = np.arange(n_atoms)[None, :]
+
+    log.info('Found %d symmetries.', sym_group_perms.shape[0])
+    return sym_group_perms

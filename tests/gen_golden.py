@@ -149,7 +149,21 @@ def gen_train_predict():
     print('train_predict_ref.npz  c=%.6f std=%.6f' % (model['c'], model['std']))
 
 
+def gen_perms():
+    """Reference find_perms on the symmetric synthetic molecule."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from sgdml_tpu.datasets.synthetic import generate_symmetric_md_dataset
+    from sgdml.utils import perm as ref_perm
+
+    ds = generate_symmetric_md_dataset(n_frames=60, seed=0)
+    R, z = ds['R'][:40], ds['z']
+    perms = ref_perm.find_perms(R, z, max_processes=1)
+    np.savez(OUT / 'perms_ref.npz', R=R, z=z, perms=perms)
+    print('perms_ref.npz', perms.shape)
+
+
 if __name__ == '__main__':
     gen_descriptor()
     gen_kernel()
     gen_train_predict()
+    gen_perms()
