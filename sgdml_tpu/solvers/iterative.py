@@ -1,0 +1,447 @@
+"""Iterative solver: Nystrom-preconditioned conjugate gradients, matrix-free.
+
+For training sets where the ``(3NM)^2`` kernel no longer fits device memory,
+the system
+
+    A alpha = y,    A = -K_asm + lam I   (PSD; alpha returned with the
+                                          analytic solver's sign convention
+                                          alpha = -A^{-1} y)
+
+is solved matrix-free: the matvec ``A v`` is *a batched prediction pass over
+all training points* (reference: sgdml/solvers/iterative.py:183-206) — here
+one jit-compiled XLA program (tables from ``v`` + the five-matmul predictor),
+no host round-trips inside an iteration.
+
+Preconditioner: Nystrom low-rank approximation from ``k`` inducing columns
+chosen by leverage scores (reference: iterative.py:353-411). With PSD
+columns ``C = -K_asm[:, cols]``, ``W = C[cols, :]``:
+
+    Q = C L_W^{-T}           (L_W = chol(W))
+    M v = lam^{-1} (v - F^T (F v)),   F = L^{-1} Q^T,  L = chol(Q^T Q + lam I)
+
+which is the Woodbury inverse of ``(Q Q^T + lam I)`` — positive definite by
+construction (the reference builds the same factor through a two-stage
+in-place Cholesky pipeline, iterative.py:208-351; this implementation keeps
+the algebra explicit and runs both stages on device).
+
+Control flow is hybrid: CG runs in fixed-size jitted chunks
+(``lax.while_loop`` inside, early exit on convergence); the Python driver
+between chunks handles progress reporting, ~2-minute model checkpoints, CG
+effectiveness monitoring and preconditioner-strengthening restarts
+(1.2x inducing points, max 6 restarts — reference: iterative.py:729-804).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import timeit
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import descriptor as desc_ops
+from ..ops.kernel import Mat52Coeffs, assemble_kernel_columns, perm_tables
+from ..predict import predict_from_tables
+
+log = logging.getLogger(__name__)
+
+CG_STEPS_HIST_LEN = 100  # window for solver-effectiveness estimate
+EFF_RESTART_THRESH = 0  # restart when effectiveness <= this percentage
+MAX_NUM_RESTARTS = 6
+CHECKPOINT_INTERVAL_S = 2 * 60.0
+CG_CHUNK_ITERS = 50  # CG iterations per jitted chunk
+
+
+# ---------------------------------------------------------------------------
+# Device-side pieces
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr'))
+def _matvec_A(
+    v, X, Jc, sig, lam, *, n_atoms, desc_perms_key, use_E_cstr
+):
+    """A v = -predict_train(v) + lam v, fully on device."""
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    m = X.shape[0]
+    dim_i = 3 * n_atoms
+
+    if use_E_cstr:
+        v_F, v_E = v[:-m], v[-m:]
+    else:
+        v_F, v_E = v, None
+
+    JA_flat = desc_ops.jac_dot_vec(Jc, v_F.reshape(m, dim_i), n_atoms)
+    dp = jnp.asarray(desc_perms)
+    Xt = X[:, dp].reshape(-1, X.shape[1])
+    JA = JA_flat[:, dp].reshape(-1, X.shape[1])
+    aE = None
+    if use_E_cstr:
+        aE = jnp.repeat(v_E, desc_perms.shape[0])
+
+    E, F = predict_from_tables(
+        X, Jc, Xt, JA, aE, sig, 1.0, 0.0, n_atoms=n_atoms
+    )
+    pred = jnp.concatenate([F.reshape(-1), -E]) if use_E_cstr else F.reshape(-1)
+    return -pred + lam * v
+
+
+def _make_pcg_chunk(A_apply, lam, b_norm, rtol, chunk_iters):
+    """Build the jitted fixed-size PCG chunk.
+
+    state: (x, r, z, p, rz, it, resid_hist) — resid_hist records the
+    residual norm of each step in this chunk (for host-side effectiveness
+    monitoring). The while_loop exits early on convergence.
+    """
+
+    @jax.jit
+    def pcg_chunk(state, Fp):
+        def M_apply(v):
+            return (v - Fp.T @ (Fp @ v)) / lam
+
+        def cond(carry):
+            _, r, _, _, _, it, _ = carry
+            return jnp.logical_and(
+                it < chunk_iters, jnp.linalg.norm(r) > rtol * b_norm
+            )
+
+        def body(carry):
+            x, r, z, p, rz, it, hist = carry
+            Ap = A_apply(p)
+            alpha = rz / (p @ Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M_apply(r)
+            rz_new = r @ z
+            beta = rz_new / rz
+            p = z + beta * p
+            hist = hist.at[it].set(jnp.linalg.norm(r))
+            return (x, r, z, p, rz_new, it + 1, hist)
+
+        x, r, z, p, rz, _, hist = state
+        hist = jnp.zeros_like(hist)
+        return jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0, hist))
+
+    return pcg_chunk
+
+
+@jax.jit
+def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
+    """Build the Woodbury factor F (k, n) from PSD kernel columns.
+
+    C_psd: (n, k) PSD columns. cols: (k,) row indices of the inducing
+    columns. reg_w / reg_i: diagonal regularization added before the two
+    Cholesky stages (host ladder retries with larger values on failure).
+    """
+    k = C_psd.shape[1]
+    W = C_psd[cols, :] + reg_w * jnp.eye(k, dtype=C_psd.dtype)
+    Lw = jnp.linalg.cholesky(W)
+    # Q = C L_w^{-T}: solve L_w Q^T = C^T  (lower, no transpose).
+    Qt = jax.scipy.linalg.solve_triangular(Lw, C_psd.T, lower=True)  # (k, n)
+    inner = Qt @ Qt.T + (lam + reg_i) * jnp.eye(k, dtype=C_psd.dtype)
+    L = jnp.linalg.cholesky(inner)
+    F = jax.scipy.linalg.solve_triangular(L, Qt, lower=True)  # (k, n)
+    lev_scores = jnp.sum(F * F, axis=0)
+    ok = jnp.logical_and(jnp.all(jnp.isfinite(Lw)), jnp.all(jnp.isfinite(L)))
+    return F, lev_scores, ok
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+class Iterative:
+    def __init__(self, gdml_train=None, callback=None, max_memory: float = 12):
+        self.gdml_train = gdml_train
+        self.callback = callback
+        self._max_memory = max_memory
+
+    # -- preconditioner ----------------------------------------------------
+
+    def _build_factor(self, X, Jc, dperms, sig, lam, col_idxs, n_atoms, use_E_cstr):
+        """Assemble PSD columns on device and build the Woodbury factor,
+        with an escalating regularization ladder (reference behavior:
+        iterative.py:414-471)."""
+        C = -assemble_kernel_columns(
+            X, Jc, dperms, sig, n_atoms, col_idxs
+        )  # PSD columns (n, k)
+        if use_E_cstr:
+            raise NotImplementedError(
+                'Energy constraints are currently only supported by the '
+                'analytic solver.'
+            )
+        cols = jnp.asarray(np.asarray(col_idxs, dtype=np.int64))
+
+        eps = np.finfo(np.float64).eps
+        for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
+            F, lev, ok = _nystrom_factor_from_cols(C, cols, lam, reg, reg)
+            if bool(ok):
+                if reg > 0:
+                    log.debug('Nystrom factor needed regularization %g.', reg)
+                return F, np.asarray(lev)
+        raise RuntimeError(
+            'Failed to factorize the Nystrom preconditioner despite strong '
+            'regularization. Try a larger sigma.'
+        )
+
+    def _lev_scores(self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, n):
+        """Approximate ridge leverage scores from a random column subset
+        (reference: iterative.py:353-399)."""
+        dim_i = 3 * n_atoms
+        dim_m = dim_i * min(n_inducing_pts, 10)
+        idxs = np.sort(np.random.choice(n, dim_m, replace=False))
+        _, lev = self._build_factor(
+            X, Jc, dperms, sig, lam, idxs, n_atoms, use_E_cstr=False
+        )
+        return lev
+
+    @staticmethod
+    def inducing_pts_from_lev_scores(lev_scores, n):
+        p = lev_scores / lev_scores.sum()
+        idxs = np.random.choice(lev_scores.size, n, replace=False, p=p)
+        return np.sort(idxs)
+
+    # -- main solve ----------------------------------------------------------
+
+    def solve(
+        self,
+        task,
+        R_desc,
+        R_d_desc,
+        desc_perms,
+        y,
+        y_std,
+        tol: float = 1e-4,
+        save_progr_callback=None,
+    ):
+        n_train, n_atoms = task['R_train'].shape[:2]
+        dim_i = 3 * n_atoms
+        n = len(y)
+        sig = float(np.squeeze(task['sig']))
+        lam = float(np.squeeze(task['lam']))
+        use_E_cstr = bool(task.get('use_E_cstr', False))
+        if use_E_cstr:
+            raise NotImplementedError(
+                'use_E_cstr with the iterative solver is not supported yet; '
+                'use the analytic solver.'
+            )
+
+        X = jnp.asarray(R_desc)
+        Jc = jnp.asarray(R_d_desc)
+        dperms = np.asarray(desc_perms)
+        perms_key = (
+            np.ascontiguousarray(dperms.astype(np.int64)).tobytes(),
+            dperms.shape,
+        )
+
+        def A_apply(v):
+            return _matvec_A(
+                v, X, Jc, sig, lam,
+                n_atoms=n_atoms,
+                desc_perms_key=perms_key,
+                use_E_cstr=use_E_cstr,
+            )
+
+        max_n_ind = Iterative.max_n_inducing_pts(
+            n_train, n_atoms, self._max_memory * 1024**3
+        )
+        n_inducing_pts = min(n_train, max_n_ind)
+
+        # Warm start (resume) support.
+        alphas0_F = task.get('alphas0_F')
+        num_iters0 = int(task.get('solver_iters', 0))
+        x0 = None
+        if alphas0_F is not None:
+            x0 = -np.asarray(alphas0_F)
+
+        # Inducing points: reuse stored ones when resuming, else leverage
+        # scores from a random column probe.
+        lev_scores = None
+        if (
+            'inducing_pts_idxs' in task
+            and len(task['inducing_pts_idxs']) // dim_i == n_inducing_pts
+        ):
+            inducing_pts_idxs = np.asarray(task['inducing_pts_idxs'])
+        else:
+            log.info(
+                'Estimating leverage scores (k=%d inducing points).',
+                n_inducing_pts,
+            )
+            lev_scores = self._lev_scores(
+                X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, n
+            )
+            inducing_pts_idxs = self.inducing_pts_from_lev_scores(
+                lev_scores, n_inducing_pts * dim_i
+            )
+
+        t0 = timeit.default_timer()
+        Fp, lev_scores = self._build_factor(
+            X, Jc, dperms, sig, lam, inducing_pts_idxs, n_atoms, use_E_cstr
+        )
+        log.info(
+            'Built Nystrom preconditioner (k=%d columns) in %.1f s.',
+            len(inducing_pts_idxs),
+            timeit.default_timer() - t0,
+        )
+
+        b = jnp.asarray(y)
+        b_norm = float(np.linalg.norm(y))
+        pcg_chunk = _make_pcg_chunk(A_apply, lam, b_norm, tol, CG_CHUNK_ITERS)
+
+        def init_state(x_init, Fp_cur):
+            x = jnp.asarray(
+                x_init if x_init is not None else np.zeros(n), dtype=b.dtype
+            )
+            r = b - A_apply(x)
+            z = (r - Fp_cur.T @ (Fp_cur @ r)) / lam
+            rz = r @ z
+            return (x, r, z, z, rz, 0, jnp.zeros(CG_CHUNK_ITERS))
+
+        state = init_state(x0, Fp)
+        num_iters = num_iters0
+        num_restarts = 0
+        resid = float(np.linalg.norm(np.asarray(state[1])))
+        steps_hist: list = []
+        max_iters = 3 * n_atoms * n_train * 10
+        last_ckpt = timeit.default_timer()
+        t_start = timeit.default_timer()
+
+        while True:
+            state = pcg_chunk(state, Fp)
+            x, r, z, p, rz, it_done, hist = state
+            it_done = int(it_done)
+            num_iters += it_done
+
+            hist_np = np.asarray(hist[:it_done])
+            new_resid_series = np.concatenate([[resid], hist_np])
+            steps_hist += list(np.diff(new_resid_series))
+            steps_hist = steps_hist[-CG_STEPS_HIST_LEN:]
+            resid = float(new_resid_series[-1])
+
+            converged = resid <= tol * b_norm
+            if converged or num_iters >= max_iters:
+                break
+            if it_done < CG_CHUNK_ITERS and not converged:
+                # while_loop exited early without convergence: numerical
+                # stagnation — treat as stall.
+                eff = -100
+            elif len(steps_hist) < CG_STEPS_HIST_LEN:
+                eff = 100  # not enough history to judge yet
+            else:
+                steps = np.array(steps_hist)
+                total = np.abs(steps).sum()
+                ratio = (-steps.clip(max=0).sum() / total) if total > 0 else 1.0
+                eff = (int(100 * ratio) - 50) * 2
+
+            if self.callback is not None:
+                elapsed = timeit.default_timer() - t_start
+                self.callback(
+                    num_iters,
+                    max_iters,
+                    disp_str='Training error (RMSE): forces %.4f'
+                    % (resid / np.sqrt(n)),
+                    sec_disp_str='%d iter @ %.2f iter/s, k=%d'
+                    % (num_iters, num_iters / max(elapsed, 1e-9), n_inducing_pts),
+                )
+
+            # Periodic checkpoint of the unconverged model.
+            now = timeit.default_timer()
+            if save_progr_callback is not None and (
+                now - last_ckpt > CHECKPOINT_INTERVAL_S
+            ):
+                last_ckpt = now
+                self._save_checkpoint(
+                    task, R_desc, R_d_desc, y_std, x, tol, num_iters, resid,
+                    b_norm, inducing_pts_idxs, save_progr_callback,
+                )
+
+            # Stall: strengthen the preconditioner and restart.
+            if eff <= EFF_RESTART_THRESH and n_inducing_pts < n_train:
+                num_restarts += 1
+                steps_hist = []
+                if num_restarts >= MAX_NUM_RESTARTS:
+                    break
+                n_inducing_pts = min(int(np.ceil(1.2 * n_inducing_pts)), n_train)
+                log.info(
+                    'CG stalled; restarting with k=%d inducing points '
+                    '(%d restarts left).',
+                    n_inducing_pts,
+                    MAX_NUM_RESTARTS - num_restarts,
+                )
+                if lev_scores is None:
+                    lev_scores = self._lev_scores(
+                        X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, n
+                    )
+                inducing_pts_idxs = self.inducing_pts_from_lev_scores(
+                    lev_scores, n_inducing_pts * dim_i
+                )
+                Fp, lev_scores = self._build_factor(
+                    X, Jc, dperms, sig, lam, inducing_pts_idxs, n_atoms,
+                    use_E_cstr,
+                )
+                state = init_state(np.asarray(x), Fp)
+
+        is_conv = resid <= tol * b_norm
+        alphas = -np.asarray(state[0])
+        train_rmse = resid / np.sqrt(n)
+        return (
+            alphas,
+            tol,
+            num_iters,
+            resid,
+            train_rmse,
+            np.asarray(inducing_pts_idxs),
+            is_conv,
+        )
+
+    def _save_checkpoint(
+        self, task, R_desc, R_d_desc, y_std, x, tol, num_iters, resid, b_norm,
+        inducing_pts_idxs, save_progr_callback,
+    ):
+        alphas_F = -np.asarray(x)
+        model = self.gdml_train.create_model(
+            task, 'cg', R_desc, R_d_desc, y_std, alphas_F
+        )
+        model.update(
+            {
+                'solver_tol': tol,
+                'solver_iters': num_iters,
+                'solver_resid': resid,
+                'norm_y_train': b_norm,
+                'inducing_pts_idxs': np.asarray(inducing_pts_idxs),
+            }
+        )
+        if 'E_train' in task:
+            from ..predict import GDMLPredict
+
+            pred = GDMLPredict(model)
+            pred.set_R_desc(jnp.asarray(R_desc))
+            pred.set_R_d_desc(jnp.asarray(R_d_desc))
+            E_pred, _ = pred.predict()
+            model['c'] = float(np.mean(np.squeeze(task['E_train']) - E_pred))
+        save_progr_callback(model)
+
+    # -- memory models (reference: iterative.py:827-866) --------------------
+
+    @staticmethod
+    def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes):
+        sq, lin = 5, 4
+        to_dof = (3 * n_atoms) ** 2 * 8
+        sq_factor = lin * n_train * to_dof
+        ny_factor = sq * to_dof
+        n_ind = (
+            np.sqrt(sq_factor**2 + 4.0 * ny_factor * max_memory_bytes) - sq_factor
+        ) / (2 * ny_factor)
+        return min(int(n_ind), n_train)
+
+    @staticmethod
+    def est_memory_requirement(n_train, n_inducing_pts, n_atoms):
+        sq, lin = 5, 4
+        est = lin * n_train * n_inducing_pts * (3 * n_atoms) ** 2 * 8
+        est += sq * n_inducing_pts**2 * (3 * n_atoms) ** 2 * 8
+        return est
