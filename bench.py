@@ -1,0 +1,103 @@
+"""Benchmark: train + bulk inference on the synthetic ethanol-sized system.
+
+Mirrors BASELINE.md configs 1 and 2: analytic training at M=200 and bulk
+energy/force prediction over 10k geometries (N=9 atoms). The baseline
+numbers in BENCH_BASELINE.json were measured by running the *reference*
+implementation (NumPy path + its process auto-tuner) on this machine —
+see tests/measure_reference_baseline.py.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import pathlib
+import sys
+import timeit
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).parent
+sys.path.insert(0, str(ROOT))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+    from sgdml_tpu.predict import GDMLPredict
+    from sgdml_tpu.train import GDMLTrain
+
+    baseline = {}
+    baseline_path = ROOT / 'BENCH_BASELINE.json'
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())
+
+    n_atoms, m_train, n_bulk = 9, 200, 10000
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=12000, seed=0)
+
+    trainer = GDMLTrain()
+    np.random.seed(1)
+    task = trainer.create_task(
+        ds, m_train, ds, 500, sig=10.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    t0 = timeit.default_timer()
+    model = trainer.train(task, solver='analytic')
+    t_train = timeit.default_timer() - t0
+
+    # Accuracy parity check on 1000 held-out geometries.
+    ti = np.setdiff1d(np.arange(len(ds['R'])), task['idxs_train'])[:1000]
+    R_test = ds['R'][ti].reshape(len(ti), -1)
+    f_ref = ds['F'][ti].reshape(len(ti), -1)
+
+    def measure(dtype, batch_size=500):
+        pred = GDMLPredict(model, dtype=dtype, batch_size=batch_size)
+        E, F = pred.predict(R_test)
+        f_mae = float(np.abs(F - f_ref).mean())
+        e_mae = float(np.abs(E - ds['E'][ti]).mean())
+
+        R_bulk = ds['R'][:n_bulk].reshape(n_bulk, -1)
+        pred.predict(R_bulk[:batch_size])  # warm-up compile
+        t0 = timeit.default_timer()
+        pred.predict(R_bulk)
+        dt = timeit.default_timer() - t0
+        return n_bulk / dt, f_mae, e_mae
+
+    gps64, f_mae64, e_mae64 = measure(jnp.float64)
+    gps32, f_mae32, e_mae32 = measure(jnp.float32)
+
+    # Headline: fastest dtype whose force MAE stays within 0.02 of f64's.
+    if f_mae32 <= f_mae64 + 0.02 and gps32 > gps64:
+        gps, f_mae, e_mae, dtype = gps32, f_mae32, e_mae32, 'float32'
+    else:
+        gps, f_mae, e_mae, dtype = gps64, f_mae64, e_mae64, 'float64'
+
+    base_gps = baseline.get('reference_pred_geoms_per_sec', None)
+    result = {
+        'metric': 'bulk inference throughput (ethanol-sized N=9, M=200, 10k geoms)',
+        'value': round(gps, 1),
+        'unit': 'geoms/sec',
+        'vs_baseline': round(gps / base_gps, 2) if base_gps else None,
+        'extra': {
+            'device': str(jax.devices()[0]),
+            'dtype': dtype,
+            'train_s': round(t_train, 2),
+            'train_s_vs_baseline': (
+                round(baseline['reference_train_s'] / t_train, 2)
+                if 'reference_train_s' in baseline
+                else None
+            ),
+            'force_mae': round(f_mae, 5),
+            'force_mae_reference': baseline.get('reference_force_mae'),
+            'energy_mae': round(e_mae, 5),
+            'gps_float64': round(gps64, 1),
+            'gps_float32': round(gps32, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -61,4 +61,27 @@ def enable_x64():
     jax.config.update('jax_enable_x64', True)
 
 
+def enable_compile_cache():
+    """Enable JAX's persistent compilation cache.
+
+    TPU compiles (especially via remote-compile tunnels) cost tens of
+    seconds per program; the disk cache makes every program a one-time
+    cost across processes.
+    """
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        'SGDML_TPU_COMPILE_CACHE',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), '.jax_cache'),
+    )
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # config names can shift between JAX versions
+        pass
+
+
 enable_x64()
+enable_compile_cache()

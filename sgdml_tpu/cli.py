@@ -1,0 +1,535 @@
+"""Command-line workflow assistant.
+
+Mirrors the reference's 9-subcommand UX (sgdml/cli.py): ``all`` chains
+create -> train -> select -> test; tasks/models are npz artifacts in a
+deterministic directory layout with MD5 provenance checks at every step.
+
+    sgdml-tpu all    <dataset> <n_train> <n_valid> [<n_test>] [options]
+    sgdml-tpu create <dataset> <n_train> <n_valid> [options]
+    sgdml-tpu train  <task_dir_or_file> [<valid_dataset>]
+    sgdml-tpu validate <model_dir_or_file> <dataset>
+    sgdml-tpu test   <model> <dataset> [<n_test>]
+    sgdml-tpu select <model_dir>
+    sgdml-tpu resume <model> <dataset>
+    sgdml-tpu show   <file>
+    sgdml-tpu reset
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+
+import numpy as np
+
+from . import __version__
+from .predict import GDMLPredict
+from .train import GDMLTrain
+from .utils import io
+
+log = logging.getLogger('sgdml_tpu.cli')
+
+
+# ---------------------------------------------------------------------------
+# Error metrics (reference definitions: sgdml/cli.py:1556-1605,1170-1180)
+# ---------------------------------------------------------------------------
+
+
+def force_error_metrics(F_pred, F_ref, n_atoms):
+    """MAE/RMSE for force components, magnitudes and angular deviation."""
+    F_pred = np.asarray(F_pred).reshape(len(F_pred), n_atoms, 3)
+    F_ref = np.asarray(F_ref).reshape(len(F_ref), n_atoms, 3)
+
+    diff = (F_pred - F_ref).reshape(-1)
+    mae = np.abs(diff).mean()
+    rmse = np.sqrt((diff**2).mean())
+
+    mag_pred = np.linalg.norm(F_pred, axis=2).reshape(-1)
+    mag_ref = np.linalg.norm(F_ref, axis=2).reshape(-1)
+    mag_d = mag_pred - mag_ref
+    mag_mae, mag_rmse = np.abs(mag_d).mean(), np.sqrt((mag_d**2).mean())
+
+    dot = np.einsum('bnc,bnc->bn', F_pred, F_ref)
+    denom = np.maximum(
+        np.linalg.norm(F_pred, axis=2) * np.linalg.norm(F_ref, axis=2), 1e-30
+    )
+    cos = np.clip(dot / denom, -1.0, 1.0)
+    ang = (np.arccos(cos) / np.pi).reshape(-1)
+    ang_mae, ang_rmse = np.abs(ang).mean(), np.sqrt((ang**2).mean())
+
+    return {
+        'mae': float(mae),
+        'rmse': float(rmse),
+        'mag_mae': float(mag_mae),
+        'mag_rmse': float(mag_rmse),
+        'ang_mae': float(ang_mae),
+        'ang_rmse': float(ang_rmse),
+    }
+
+
+def energy_error_metrics(E_pred, E_ref):
+    d = np.asarray(E_pred) - np.asarray(E_ref)
+    return {'mae': float(np.abs(d).mean()), 'rmse': float(np.sqrt((d**2).mean()))}
+
+
+# ---------------------------------------------------------------------------
+# Subcommands
+# ---------------------------------------------------------------------------
+
+
+def create(args):
+    dataset = io.validate_dataset(io.load_dict(args.dataset))
+    sigs = args.sig if isinstance(args.sig, list) else [args.sig]
+
+    task_dir = args.task_dir or io.train_dir_name(
+        dataset,
+        args.n_train,
+        use_sym=not args.gdml,
+        use_E=not args.no_E,
+        use_E_cstr=args.E_cstr,
+    )
+    if os.path.exists(task_dir):
+        if args.overwrite:
+            shutil.rmtree(task_dir)
+        elif io.is_task_dir_resumable(
+            task_dir, dataset, dataset, args.n_train, args.n_valid, sigs,
+            args.E_cstr,
+        ):
+            log.info('Resuming existing task directory %s.', task_dir)
+            return task_dir
+        else:
+            print(
+                'Task directory %s exists and does not match the requested '
+                'configuration. Use -o to overwrite.' % task_dir
+            )
+            sys.exit(1)
+    os.makedirs(task_dir, exist_ok=True)
+
+    trainer = GDMLTrain(max_memory=args.max_memory)
+    template = trainer.create_task(
+        dataset,
+        args.n_train,
+        dataset,
+        args.n_valid,
+        sig=sigs[0],
+        lam=args.lam,
+        use_sym=not args.gdml,
+        use_E=not args.no_E,
+        use_E_cstr=args.E_cstr,
+    )
+    for sig in sigs:
+        task = dict(template)
+        task['sig'] = sig
+        path = os.path.join(task_dir, io.task_file_name(task))
+        io.save_dict(path, task)
+        log.info('Wrote %s', path)
+    print('Created %d task(s) in %s.' % (len(sigs), task_dir))
+    return task_dir
+
+
+def train(args):
+    path = args.task
+    tasks = []
+    if os.path.isdir(path):
+        tasks = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith('task-') and f.endswith('.npz')
+        )
+    else:
+        tasks = [path]
+    if not tasks:
+        print('No task files found in %s.' % path)
+        sys.exit(1)
+
+    trainer = GDMLTrain(max_memory=args.max_memory)
+    valid_dataset = (
+        io.load_dict(args.valid_dataset) if args.valid_dataset else None
+    )
+
+    prev_valid_rmse = None
+    model_paths = []
+    for task_path in tasks:
+        task = io.load_dict(task_path)
+        model_path = os.path.join(
+            os.path.dirname(task_path), io.model_file_name(task)
+        )
+        if os.path.exists(model_path) and not args.overwrite:
+            log.info('Model exists, skipping: %s', model_path)
+            model_paths.append(model_path)
+            continue
+
+        def save_progress(unconv_model, _path=model_path):
+            io.save_dict(_path.replace('model-', '_unconv_model-'), unconv_model)
+
+        log.info('Training task %s', task_path)
+        model = trainer.train(
+            task, solver=args.solver, save_progr_callback=save_progress
+        )
+        io.save_dict(model_path, model)
+        model_paths.append(model_path)
+        unconv = model_path.replace('model-', '_unconv_model-')
+        if os.path.exists(unconv):
+            os.remove(unconv)
+        print('Trained %s' % model_path)
+
+        # Early stopping over the sigma grid: validation force RMSE rising
+        # (reference: sgdml/cli.py:1138-1150).
+        if valid_dataset is not None and len(tasks) > 1:
+            res = _validate_model(io.load_dict(model_path), valid_dataset)
+            rmse = res['f_err']['rmse']
+            log.info('Validation force RMSE at sig=%s: %.5f', task['sig'], rmse)
+            if prev_valid_rmse is not None and rmse > prev_valid_rmse:
+                log.info('Validation error rising; stopping sigma search.')
+                break
+            prev_valid_rmse = rmse
+    return model_paths
+
+
+def _validate_model(model, dataset, n_test=None, batch=250):
+    """Shared validate/test core (reference: one function for both,
+    sgdml/cli.py:1327-1794; n_test=None => validation split)."""
+    md5 = io.dataset_md5(dataset)
+    key = 'md5_valid' if n_test is None else 'md5_train'
+    if n_test is None and model.get('md5_valid') not in (md5, None):
+        raise ValueError(
+            'Dataset fingerprint does not match the validation dataset this '
+            'model was created with.'
+        )
+
+    n_atoms = dataset['R'].shape[1]
+    if n_test is None:
+        idxs = np.asarray(model['idxs_valid'])
+    else:
+        excl = np.concatenate(
+            [np.asarray(model['idxs_train']), np.asarray(model['idxs_valid'])]
+        )
+        cands = np.setdiff1d(np.arange(dataset['R'].shape[0]), excl)
+        if n_test > 0:
+            np.random.seed(0)
+            idxs = np.random.choice(cands, min(n_test, len(cands)), replace=False)
+        else:
+            idxs = cands
+
+    pred = GDMLPredict(model)
+    use_E = bool(model.get('use_E', True)) and 'E' in dataset
+
+    E_pred_all, F_pred_all = [], []
+    for b0 in range(0, len(idxs), batch):
+        sl = idxs[b0 : b0 + batch]
+        E, F = pred.predict(dataset['R'][sl].reshape(len(sl), -1))
+        E_pred_all.append(E)
+        F_pred_all.append(F)
+    E_pred = np.concatenate(E_pred_all)
+    F_pred = np.concatenate(F_pred_all)
+
+    out = {
+        'n': len(idxs),
+        'f_err': force_error_metrics(
+            F_pred, dataset['F'][idxs].reshape(len(idxs), -1), n_atoms
+        ),
+    }
+    if use_E:
+        out['e_err'] = energy_error_metrics(E_pred, dataset['E'][idxs])
+    return out
+
+
+def validate(args):
+    return test(args, n_test=None)
+
+
+def test(args, n_test='arg'):
+    if n_test == 'arg':
+        n_test = getattr(args, 'n_test', 0) or 0
+    dataset = io.validate_dataset(io.load_dict(args.dataset))
+
+    paths = []
+    if os.path.isdir(args.model):
+        paths = sorted(
+            os.path.join(args.model, f)
+            for f in os.listdir(args.model)
+            if f.startswith('model-') and f.endswith('.npz')
+        )
+    else:
+        paths = [args.model]
+
+    results = []
+    for path in paths:
+        model = io.load_dict(path)
+        if not io.is_model(model):
+            continue
+        # Provenance checks (reference: cli.py:1385-1398).
+        if not np.array_equal(np.sort(model['z']), np.sort(dataset['z'])):
+            raise ValueError('Atom composition of model and dataset differ.')
+        if ('lattice' in model) != ('lattice' in dataset):
+            raise ValueError('Lattice presence differs between model/dataset.')
+
+        res = _validate_model(model, dataset, n_test=n_test)
+        kind = 'validation' if n_test is None else 'test'
+        print(
+            '%s  [%s n=%d]  force MAE %.5f RMSE %.5f%s'
+            % (
+                os.path.basename(path),
+                kind,
+                res['n'],
+                res['f_err']['mae'],
+                res['f_err']['rmse'],
+                (
+                    '  energy MAE %.5f RMSE %.5f'
+                    % (res['e_err']['mae'], res['e_err']['rmse'])
+                    if 'e_err' in res
+                    else ''
+                ),
+            )
+        )
+        # Record errors in the model file (reference: cli.py:1756-1772).
+        model['f_err'] = res['f_err'] if n_test is not None else model.get('f_err')
+        if n_test is not None:
+            model['n_test'] = res['n']
+            model['md5_test'] = io.dataset_md5(dataset)
+            if 'e_err' in res:
+                model['e_err'] = res['e_err']
+            io.save_dict(path, model)
+        results.append((path, res))
+    return results
+
+
+def select(args):
+    """Pick the model with minimal validation force RMSE over the sigma
+    grid (reference: sgdml/cli.py:1797-1937)."""
+    dataset = io.load_dict(args.dataset) if args.dataset else None
+    paths = sorted(
+        os.path.join(args.model_dir, f)
+        for f in os.listdir(args.model_dir)
+        if f.startswith('model-') and f.endswith('.npz')
+    )
+    if not paths:
+        print('No model files found in %s.' % args.model_dir)
+        sys.exit(1)
+
+    rows = []
+    for path in paths:
+        model = io.load_dict(path)
+        if dataset is not None:
+            res = _validate_model(model, dataset, n_test=None)
+            rmse = res['f_err']['rmse']
+        else:
+            rmse = float(model['f_err'].item()['rmse']) if isinstance(
+                model['f_err'], np.ndarray
+            ) else float(model['f_err']['rmse'])
+        rows.append((path, float(np.squeeze(model['sig'])), rmse))
+
+    rows.sort(key=lambda r: r[1])
+    sigs = [r[1] for r in rows]
+    rmses = [r[2] for r in rows]
+    best = int(np.nanargmin(rmses))
+    if best in (0, len(rows) - 1) and len(rows) > 1:
+        log.warning(
+            'Optimal sigma lies on the boundary of the search grid — '
+            'extend the grid (-s) for a better model.'
+        )
+    best_path = rows[best][0]
+
+    out_path = args.out or io.model_file_name(
+        io.load_dict(best_path), is_extended=True
+    )
+    shutil.copy(best_path, out_path)
+    print(
+        'Selected sig=%g (force RMSE %.5f) -> %s'
+        % (rows[best][1], rows[best][2], out_path)
+    )
+    return out_path
+
+
+def all_cmd(args):
+    """create -> train -> select -> test (reference: sgdml/cli.py:612-740)."""
+    task_dir = create(args)
+
+    targs = argparse.Namespace(
+        task=task_dir,
+        valid_dataset=args.dataset,
+        overwrite=False,
+        max_memory=args.max_memory,
+        solver=args.solver,
+    )
+    train(targs)
+
+    sargs = argparse.Namespace(
+        model_dir=task_dir, dataset=args.dataset, out=args.model_file
+    )
+    best = select(sargs)
+
+    if args.n_test is None or args.n_test != 0:
+        xargs = argparse.Namespace(model=best, dataset=args.dataset)
+        test(xargs, n_test=args.n_test or 0)
+    print('Model saved to %s' % best)
+
+
+def resume(args):
+    """Warm-start continuation of an unconverged iterative model
+    (reference: sgdml/cli.py:1183-1285)."""
+    model = io.load_dict(args.model)
+    dataset = io.validate_dataset(io.load_dict(args.dataset))
+    if model.get('md5_train') != io.dataset_md5(dataset):
+        raise ValueError(
+            'Dataset fingerprint does not match the one this model was '
+            'trained on.'
+        )
+    solver = model.get('solver_name', 'analytic')
+    if isinstance(solver, bytes):
+        solver = solver.decode()
+    if str(solver) == 'analytic':
+        print('Analytically solved models cannot be resumed (already exact).')
+        sys.exit(1)
+
+    trainer = GDMLTrain(max_memory=args.max_memory)
+    task = trainer.create_task_from_model(model, dataset)
+    new_model = trainer.train(task, solver='cg')
+    out = args.out or args.model
+    io.save_dict(out, new_model)
+    print('Resumed model saved to %s' % out)
+
+
+def show(args):
+    data = io.load_dict(args.file)
+    kind = {'d': 'dataset', 't': task_str(data), 'm': 'model'}.get(
+        io.artifact_type(data), 'unknown'
+    )
+    print('type: %s' % kind)
+    for k in sorted(data.keys()):
+        v = data[k]
+        if isinstance(v, np.ndarray):
+            if v.size <= 8:
+                print('  %-20s %s' % (k, np.array2string(v.ravel())))
+            else:
+                print(
+                    '  %-20s array%s %s  [%.4g .. %.4g]'
+                    % (k, list(v.shape), v.dtype, v.min() if v.dtype.kind in 'fiu' else 0, v.max() if v.dtype.kind in 'fiu' else 0)
+                    if v.dtype.kind in 'fiu'
+                    else '  %-20s array%s %s' % (k, list(v.shape), v.dtype)
+                )
+        else:
+            print('  %-20s %s' % (k, v))
+
+
+def task_str(data):
+    return 'task'
+
+
+def reset(args):
+    """Purge cached compilation artifacts."""
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir and os.path.isdir(cache_dir):
+        shutil.rmtree(cache_dir)
+        print('Removed compilation cache %s.' % cache_dir)
+    else:
+        print('No persistent caches to remove.')
+
+
+# ---------------------------------------------------------------------------
+# Argument parsing
+# ---------------------------------------------------------------------------
+
+
+def _add_common_train_args(p):
+    p.add_argument('dataset', help='dataset npz file')
+    p.add_argument('n_train', type=int)
+    p.add_argument('n_valid', type=int)
+    p.add_argument(
+        '-s',
+        '--sig',
+        default='10:10:100',
+        help="sigma grid 'start:step:stop', list '10,20', or single value",
+    )
+    p.add_argument('--lam', type=float, default=1e-10)
+    p.add_argument('--gdml', action='store_true', help='disable symmetries')
+    p.add_argument('--no_E', action='store_true', help='ignore energy labels')
+    p.add_argument(
+        '--E_cstr', action='store_true', help='include energy constraints'
+    )
+    p.add_argument('-o', '--overwrite', action='store_true')
+    p.add_argument('--task_dir', default=None)
+    p.add_argument('--max_memory', type=float, default=None, help='GB budget')
+    p.add_argument(
+        '--solver', choices=['analytic', 'cg'], default=None,
+        help='force solver choice (default: by memory estimate)',
+    )
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO, format='[%(levelname)s] %(message)s'
+    )
+    parser = argparse.ArgumentParser(
+        prog='sgdml-tpu',
+        description='TPU-native sGDML force-field reconstruction (v%s)'
+        % __version__,
+    )
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    p = sub.add_parser('all', help='create + train + select + test')
+    _add_common_train_args(p)
+    p.add_argument('n_test', type=int, nargs='?', default=None)
+    p.add_argument('--model_file', default=None)
+
+    p = sub.add_parser('create', help='create training task(s)')
+    _add_common_train_args(p)
+
+    p = sub.add_parser('train', help='train model(s) from task(s)')
+    p.add_argument('task', help='task file or task directory')
+    p.add_argument('valid_dataset', nargs='?', default=None)
+    p.add_argument('-o', '--overwrite', action='store_true')
+    p.add_argument('--max_memory', type=float, default=None)
+    p.add_argument('--solver', choices=['analytic', 'cg'], default=None)
+
+    p = sub.add_parser('validate', help='validate model(s)')
+    p.add_argument('model', help='model file or directory')
+    p.add_argument('dataset')
+
+    p = sub.add_parser('test', help='test a model')
+    p.add_argument('model')
+    p.add_argument('dataset')
+    p.add_argument('n_test', type=int, nargs='?', default=0)
+
+    p = sub.add_parser('select', help='select best model from directory')
+    p.add_argument('model_dir')
+    p.add_argument('dataset', nargs='?', default=None)
+    p.add_argument('--out', default=None)
+
+    p = sub.add_parser('resume', help='resume iterative training')
+    p.add_argument('model')
+    p.add_argument('dataset')
+    p.add_argument('--out', default=None)
+    p.add_argument('--max_memory', type=float, default=None)
+
+    p = sub.add_parser('show', help='inspect an npz artifact')
+    p.add_argument('file')
+
+    sub.add_parser('reset', help='purge caches')
+
+    args = parser.parse_args(argv)
+
+    if hasattr(args, 'sig'):
+        args.sig = io.parse_list_or_range(args.sig)
+
+    cmd = {
+        'all': all_cmd,
+        'create': create,
+        'train': train,
+        'validate': validate,
+        'test': test,
+        'select': select,
+        'resume': resume,
+        'show': show,
+        'reset': reset,
+    }[args.command]
+    return cmd(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -118,6 +118,24 @@ def predict_from_tables(
     return E * std + c, F
 
 
+@functools.partial(jax.jit, static_argnames=('n_atoms', 'with_forces'))
+def _predict_geoms(
+    R, Xt, JA, alphas_E_lin, lat, lat_inv, sig, std, c, *, n_atoms, with_forces=True
+):
+    """Fused descriptor + prediction for one fixed-size geometry bucket.
+
+    One compiled program serves any input size (the host loops over
+    fixed-size buckets), which matters on TPU where each new program shape
+    costs a fresh XLA compile.
+    """
+    lat_and_inv = None if lat is None else (lat, lat_inv)
+    Xq, Jcq = desc_ops.descriptor_batch(R, n_atoms, lat_and_inv)
+    return predict_from_tables(
+        Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c,
+        n_atoms=n_atoms, with_forces=with_forces,
+    )
+
+
 def _desc_perm_table(perms: np.ndarray) -> np.ndarray:
     return np.stack([desc_ops.perm_to_desc_perm(p) for p in np.asarray(perms)])
 
@@ -227,40 +245,55 @@ class GDMLPredict:
         (E (B,), F (B, 3N)) as NumPy arrays.
         """
         if R is None and R_desc is None:
+            # Train mode: descriptors already cached on device.
             Xq = self._R_desc_train
             Jcq = self._R_d_desc_train
-        elif R_desc is not None:
+            E, F = predict_from_tables(
+                Xq, Jcq, self.Xt, self.JA, self.alphas_E_lin,
+                self.sig, self.std, self.c, n_atoms=self.n_atoms,
+            )
+            return (np.asarray(E), np.asarray(F)) if return_E else (
+                None, np.asarray(F)
+            )
+        if R_desc is not None:
             Xq = jnp.asarray(R_desc, dtype=self.dtype)
             Jcq = jnp.asarray(R_d_desc, dtype=self.dtype)
-        else:
-            R = jnp.asarray(R, dtype=self.dtype)
-            if R.ndim == 1:
-                R = R[None, :]
-            R = R.reshape(R.shape[0], -1)
-            Xq, Jcq = desc_ops.descriptor_batch(
-                R, self.n_atoms, self.lat_and_inv
+            B = Xq.shape[0]
+            Bp = self._pad(B)
+            if Bp != B:
+                Xq = jnp.pad(Xq, ((0, Bp - B), (0, 0)))
+                Jcq = jnp.pad(Jcq, ((0, Bp - B), (0, 0), (0, 0)))
+            E, F = predict_from_tables(
+                Xq, Jcq, self.Xt, self.JA, self.alphas_E_lin,
+                self.sig, self.std, self.c, n_atoms=self.n_atoms,
             )
+            E, F = np.asarray(E[:B]), np.asarray(F[:B])
+            return (E, F) if return_E else (None, F)
 
-        B = Xq.shape[0]
+        # Geometry path: host loop over fixed-size buckets so that ONE
+        # compiled program (descriptor + predictor fused) serves any size.
+        R = np.asarray(R, dtype=np.float64)
+        if R.ndim == 1:
+            R = R[None, :]
+        R = R.reshape(R.shape[0], -1)
+        B = R.shape[0]
+        bs = self.batch_size
         Bp = self._pad(B)
         if Bp != B:
-            Xq = jnp.pad(Xq, ((0, Bp - B), (0, 0)))
-            Jcq = jnp.pad(Jcq, ((0, Bp - B), (0, 0), (0, 0)))
+            R = np.concatenate([R, np.tile(R[-1:], (Bp - B, 1))], axis=0)
 
-        E, F = predict_from_tables(
-            Xq,
-            Jcq,
-            self.Xt,
-            self.JA,
-            self.alphas_E_lin,
-            self.sig,
-            self.std,
-            self.c,
-            n_atoms=self.n_atoms,
-        )
-        E = np.asarray(E[:B])
-        F = np.asarray(F[:B])
-        return (E, F) if return_E else (None, F)
+        lat, lat_inv = (None, None) if self.lat_and_inv is None else self.lat_and_inv
+        E_out = np.empty(Bp)
+        F_out = np.empty((Bp, self.dim_i))
+        for b0 in range(0, Bp, bs):
+            Rb = jnp.asarray(R[b0 : b0 + bs], dtype=self.dtype)
+            E, F = _predict_geoms(
+                Rb, self.Xt, self.JA, self.alphas_E_lin, lat, lat_inv,
+                self.sig, self.std, self.c, n_atoms=self.n_atoms,
+            )
+            E_out[b0 : b0 + bs] = np.asarray(E)
+            F_out[b0 : b0 + bs] = np.asarray(F)
+        return (E_out[:B], F_out[:B]) if return_E else (None, F_out[:B])
 
     def predict_train_forces(self, alphas_F, alphas_E=None):
         """CG matvec core: set coefficients, predict all training points.
