@@ -420,15 +420,24 @@ def task_str(data):
 
 
 def reset(args):
-    """Purge cached compilation artifacts."""
+    """Purge cached benchmark results and compilation artifacts
+    (reference: sgdml/cli.py:1955-1976 purges _bmark_cache.npz)."""
+    from .tune import reset_cache
+
+    removed = False
+    if reset_cache():
+        print('Removed benchmark cache.')
+        removed = True
+
     import jax
 
     cache_dir = jax.config.jax_compilation_cache_dir
     if cache_dir and os.path.isdir(cache_dir):
         shutil.rmtree(cache_dir)
         print('Removed compilation cache %s.' % cache_dir)
-    else:
-        print('No persistent caches to remove.')
+        removed = True
+    if not removed:
+        print('No caches to remove.')
 
 
 # ---------------------------------------------------------------------------

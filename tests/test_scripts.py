@@ -90,3 +90,32 @@ def test_downloader_catalog():
     assert download.resolve('AT-AT') == 'md22_AT-AT.npz'
     with pytest.raises(SystemExit):
         download.resolve('definitely_not_a_molecule')
+
+
+def test_model_wrapper(ds, tmp_path):
+    from sgdml_tpu.models import GDMLModel
+    from sgdml_tpu.train import GDMLTrain
+
+    trainer = GDMLTrain()
+    np.random.seed(4)
+    task = trainer.create_task(ds, 10, ds, 5, sig=5.0, use_sym=False)
+    model_dict = trainer.train(task, solver='analytic')
+    path = str(tmp_path / 'm.npz')
+    io.save_dict(path, model_dict)
+
+    m = GDMLModel.load(path)
+    assert m.n_atoms == 4 and m.n_train == 10 and m.solver == 'analytic'
+    pred = m.predictor()
+    E, F = pred.predict(ds['R'][:3].reshape(3, -1))
+    assert np.isfinite(E).all()
+
+
+def test_ui_helpers(capsys):
+    from sgdml_tpu.utils import ui
+
+    ui.callback(ui.DONE, disp_str='step done')
+    ui.callback(5, 10, disp_str='halfway')
+    s, w = ui.gen_mat_str(np.eye(2))
+    assert '1.0' in s
+    assert ui.gen_memory_str(2048) == '2.0 KB'
+    assert 'abc' == ui.strip_ansi(ui.color_str('abc', fore='red', bold=True))
