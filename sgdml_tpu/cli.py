@@ -471,9 +471,10 @@ def _add_common_train_args(p):
 
 
 def main(argv=None):
-    logging.basicConfig(
-        level=logging.INFO, format='[%(levelname)s] %(message)s'
-    )
+    from .utils.ui import init_logging
+
+    init_logging()
+    logging.basicConfig(level=logging.INFO, format='[%(levelname)s] %(message)s')
     parser = argparse.ArgumentParser(
         prog='sgdml-tpu',
         description='TPU-native sGDML force-field reconstruction (v%s)'

@@ -368,9 +368,12 @@ def assemble_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=('n_atoms', 'desc_perms_key', 'tile_i'),
+    static_argnames=('n_atoms', 'desc_perms_key', 'tile_i', 'use_E_cstr'),
 )
-def _assemble_columns_jit(X, Jc, col_3n_idxs, sig, *, n_atoms, desc_perms_key, tile_i):
+def _assemble_columns_jit(
+    X, Jc, col_3n_idxs, sig, *, n_atoms, desc_perms_key, tile_i,
+    use_E_cstr=False,
+):
     """Assemble an arbitrary column subset K[:, cols] of the force-force
     kernel (used by the Nystrom preconditioner; reference
     sgdml/train.py:1336-1407 "fancy indexing").
@@ -432,17 +435,33 @@ def _assemble_columns_jit(X, Jc, col_3n_idxs, sig, *, n_atoms, desc_perms_key, t
         blk = jnp.einsum('icp,icpx->icx', 5.0 * b * cj, a) - jnp.einsum(
             'icp,icpx->icx', cc, g
         )
-        return None, blk.transpose(0, 2, 1).reshape(tile_i * dim_i, n_cols)
+        blk = blk.transpose(0, 2, 1).reshape(tile_i * dim_i, n_cols)
 
-    _, blocks = jax.lax.scan(body, None, jnp.arange(n_ti))
+        if use_E_cstr:
+            # Energy-constraint rows under these force columns:
+            # K[E_off + i, (j, q)] = -sum_p w(u) (d^T J_t[:, q])
+            # (reference: sgdml/train.py:235-248).
+            w = Mat52Coeffs.grad(u5, sig)  # (I, C, P)
+            fe = -jnp.einsum('icp,icp->ic', w, cj)  # (I, C)
+            return None, (blk, fe)
+        return None, (blk, jnp.zeros((tile_i, n_cols), dtype=X.dtype))
+
+    _, (blocks, fe_rows) = jax.lax.scan(body, None, jnp.arange(n_ti))
     K_cols = blocks.reshape(m_pad * dim_i, n_cols)[: m * dim_i]
+    if use_E_cstr:
+        fe = fe_rows.reshape(m_pad, n_cols)[:m]
+        K_cols = jnp.concatenate([K_cols, fe], axis=0)
     return K_cols
 
 
 def assemble_kernel_columns(
-    R_desc, R_d_desc, desc_perms, sig, n_atoms, col_3n_idxs, tile_i: int = 64
+    R_desc, R_d_desc, desc_perms, sig, n_atoms, col_3n_idxs,
+    tile_i: int = 64, use_E_cstr: bool = False,
 ):
-    """K[:, cols] for a flat column index subset (Nystrom inducing columns)."""
+    """K[:, cols] for a flat *force*-column index subset (Nystrom inducing
+    columns). With ``use_E_cstr`` the M energy-constraint rows are appended
+    (columns remain force columns — a valid PSD preconditioner basis for
+    the extended system)."""
     return _assemble_columns_jit(
         jnp.asarray(R_desc),
         jnp.asarray(R_d_desc),
@@ -451,4 +470,5 @@ def assemble_kernel_columns(
         n_atoms=n_atoms,
         desc_perms_key=_perms_key(desc_perms),
         tile_i=int(min(tile_i, R_desc.shape[0])),
+        use_E_cstr=use_E_cstr,
     )

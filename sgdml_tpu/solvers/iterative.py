@@ -168,13 +168,8 @@ class Iterative:
         with an escalating regularization ladder (reference behavior:
         iterative.py:414-471)."""
         C = -assemble_kernel_columns(
-            X, Jc, dperms, sig, n_atoms, col_idxs
-        )  # PSD columns (n, k)
-        if use_E_cstr:
-            raise NotImplementedError(
-                'Energy constraints are currently only supported by the '
-                'analytic solver.'
-            )
+            X, Jc, dperms, sig, n_atoms, col_idxs, use_E_cstr=use_E_cstr
+        )  # PSD columns (n, k); inducing columns are force columns
         cols = jnp.asarray(np.asarray(col_idxs, dtype=np.int64))
 
         eps = np.finfo(np.float64).eps
@@ -189,14 +184,18 @@ class Iterative:
             'regularization. Try a larger sigma.'
         )
 
-    def _lev_scores(self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, n):
+    def _lev_scores(
+        self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
+    ):
         """Approximate ridge leverage scores from a random column subset
-        (reference: iterative.py:353-399)."""
+        (reference: iterative.py:353-399). Columns are sampled from the
+        force block; scores cover all rows of the (extended) system."""
+        m = X.shape[0]
         dim_i = 3 * n_atoms
         dim_m = dim_i * min(n_inducing_pts, 10)
-        idxs = np.sort(np.random.choice(n, dim_m, replace=False))
+        idxs = np.sort(np.random.choice(m * dim_i, dim_m, replace=False))
         _, lev = self._build_factor(
-            X, Jc, dperms, sig, lam, idxs, n_atoms, use_E_cstr=False
+            X, Jc, dperms, sig, lam, idxs, n_atoms, use_E_cstr=use_E_cstr
         )
         return lev
 
@@ -225,11 +224,6 @@ class Iterative:
         sig = float(np.squeeze(task['sig']))
         lam = float(np.squeeze(task['lam']))
         use_E_cstr = bool(task.get('use_E_cstr', False))
-        if use_E_cstr:
-            raise NotImplementedError(
-                'use_E_cstr with the iterative solver is not supported yet; '
-                'use the analytic solver.'
-            )
 
         X = jnp.asarray(R_desc)
         Jc = jnp.asarray(R_d_desc)
@@ -273,10 +267,10 @@ class Iterative:
                 n_inducing_pts,
             )
             lev_scores = self._lev_scores(
-                X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, n
+                X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
             )
             inducing_pts_idxs = self.inducing_pts_from_lev_scores(
-                lev_scores, n_inducing_pts * dim_i
+                lev_scores[: n_train * dim_i], n_inducing_pts * dim_i
             )
 
         t0 = timeit.default_timer()
@@ -375,10 +369,11 @@ class Iterative:
                 )
                 if lev_scores is None:
                     lev_scores = self._lev_scores(
-                        X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, n
+                        X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms,
+                        use_E_cstr,
                     )
                 inducing_pts_idxs = self.inducing_pts_from_lev_scores(
-                    lev_scores, n_inducing_pts * dim_i
+                    lev_scores[: n_train * dim_i], n_inducing_pts * dim_i
                 )
                 Fp, lev_scores = self._build_factor(
                     X, Jc, dperms, sig, lam, inducing_pts_idxs, n_atoms,
