@@ -141,10 +141,11 @@ def predict_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'mesh', 'cg_iters')
+    jax.jit,
+    static_argnames=('n_atoms', 'desc_perms_key', 'mesh', 'cg_iters', 'solver'),
 )
 def _train_step_jit(R, F_labels, sig, lam, *, n_atoms, desc_perms_key, mesh,
-                    cg_iters):
+                    cg_iters, solver='cg'):
     """One full, jittable, multi-chip training step (for compile-checking
     the sharded pipeline and for small-M production training):
 
@@ -197,32 +198,45 @@ def _train_step_jit(R, F_labels, sig, lam, *, n_atoms, desc_perms_key, mesh,
         out_specs=P(axis),
     )(Xr, Jcr, Xp, Jcp)  # (m_pad*3N [row-sharded], n)
 
-    # Dense preconditioned-free CG on the row-sharded system
-    # A v = (-K + lam I) v. Padded rows contribute zero blocks; mask them.
-    row_valid = jnp.arange(m_pad * dim_i) < n
+    if solver == 'cholesky':
+        # Distributed blocked Cholesky on the row-sharded system
+        # (-K + lam I); padded rows get an identity extension.
+        from ..ops.linalg import cho_solve_blocked
 
-    def A_apply(v):
-        kv = K @ v  # row-sharded matmul -> (m_pad*3N,)
-        kv = jnp.where(row_valid, kv, 0.0)
-        return (-kv + lam * jnp.pad(v, (0, m_pad * dim_i - n)))[: n]
+        n_rows = m_pad * dim_i
+        A = -K
+        diag = jnp.where(jnp.arange(n_rows) < n, lam, 1.0)
+        A = A + jnp.diag(diag)
+        b_pad = jnp.pad(y, (0, n_rows - n))
+        nb = max(dim_i, 8)
+        x = cho_solve_blocked(A, b_pad, nb=nb)[:n]
+        r = jnp.zeros_like(x)
+        alphas = -x
+    else:
+        # Dense unpreconditioned CG on the row-sharded system
+        # A v = (-K + lam I) v. Padded rows contribute zero blocks.
+        row_valid = jnp.arange(m_pad * dim_i) < n
 
-    b = y
+        def A_apply(v):
+            kv = K @ v  # row-sharded matmul -> (m_pad*3N,)
+            kv = jnp.where(row_valid, kv, 0.0)
+            return (-kv + lam * jnp.pad(v, (0, m_pad * dim_i - n)))[:n]
 
-    def cg_body(i, carry):
-        x, r, p, rs = carry
-        Ap = A_apply(p)
-        alpha = rs / (p @ Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = r @ r
-        p = r + (rs_new / rs) * p
-        return (x, r, p, rs_new)
+        b = y
 
-    x0 = jnp.zeros_like(b)
-    x, r, _, _ = jax.lax.fori_loop(
-        0, cg_iters, cg_body, (x0, b, b, b @ b)
-    )
-    alphas = -x
+        def cg_body(i, carry):
+            x, r, p, rs = carry
+            Ap = A_apply(p)
+            alpha = rs / (p @ Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = r @ r
+            p = r + (rs_new / rs) * p
+            return (x, r, p, rs_new)
+
+        x0 = jnp.zeros_like(b)
+        x, r, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, b, b, b @ b))
+        alphas = -x
 
     R_d_desc_alpha = desc_ops.jac_dot_vec(
         Jc, alphas.reshape(m, dim_i), n_atoms
@@ -237,8 +251,12 @@ def _train_step_jit(R, F_labels, sig, lam, *, n_atoms, desc_perms_key, mesh,
 
 
 def train_step_sharded(R, F_labels, perms, sig, lam, n_atoms, mesh,
-                       cg_iters: int = 100):
-    """Multi-chip end-to-end training step (host wrapper)."""
+                       cg_iters: int = 100, solver: str = 'cg'):
+    """Multi-chip end-to-end training step (host wrapper).
+
+    solver: 'cg' (dense CG on the sharded strip) or 'cholesky'
+    (distributed blocked Cholesky, ops/linalg.py).
+    """
     dperms = np.stack(
         [desc_ops.perm_to_desc_perm(p) for p in np.asarray(perms)]
     ).astype(np.int64)
@@ -252,4 +270,5 @@ def train_step_sharded(R, F_labels, perms, sig, lam, n_atoms, mesh,
         desc_perms_key=key,
         mesh=mesh,
         cg_iters=cg_iters,
+        solver=solver,
     )

@@ -80,3 +80,34 @@ def test_multichip_train_step(mesh, setup):
     f_ref = F.reshape(m, -1)
     rel = np.abs(np.asarray(F_pred) - f_ref).mean() / np.abs(f_ref).mean()
     assert rel < 0.05, rel
+
+
+def test_multichip_train_step_cholesky(mesh, setup):
+    """Distributed blocked-Cholesky training step matches the CG step."""
+    ds, n_atoms, X, Jc, perms, dperms = setup
+    m = 16
+    out = spmd.train_step_sharded(
+        ds['R'][:m], ds['F'][:m], perms, sig=5.0, lam=1e-10,
+        n_atoms=n_atoms, mesh=mesh, solver='cholesky',
+    )
+    a1 = np.asarray(out['alphas_F'])
+    assert np.isfinite(a1).all()
+
+    # Exact single-device reference: assemble + dense Cholesky solve.
+    import jax.numpy as jnp
+
+    from sgdml_tpu.ops import descriptor as desc_ops
+    from sgdml_tpu.ops import kernel as ker
+    from sgdml_tpu.solvers.analytic import _cho_solve_neg
+
+    Xm, Jcm = desc_ops.descriptor_batch(
+        jnp.asarray(ds['R'][:m].reshape(m, -1)), n_atoms
+    )
+    K = ker.assemble_kernel(Xm, Jcm, dperms, 5.0, n_atoms)
+    y = ds['F'][:m].reshape(-1)
+    y = y / y.std()
+    a_ref, ok = _cho_solve_neg(K, jnp.asarray(y), 1e-10)
+    assert bool(ok)
+    a_ref = np.asarray(a_ref)
+    rel = np.abs(a1 - a_ref).max() / np.abs(a_ref).max()
+    assert rel < 1e-6, rel
