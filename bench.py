@@ -56,17 +56,23 @@ def main():
     R_test = ds['R'][ti].reshape(len(ti), -1)
     f_ref = ds['F'][ti].reshape(len(ti), -1)
 
-    def measure(dtype, batch_size=500):
-        pred = GDMLPredict(model, dtype=dtype, batch_size=batch_size)
+    def measure(dtype):
+        # Accuracy at a 1k bucket; throughput at a single 10k launch (the
+        # contraction is launch-latency-bound at this molecule size — one
+        # big XLA program is the fast path).
+        pred = GDMLPredict(model, dtype=dtype, batch_size=1000)
         E, F = pred.predict(R_test)
         f_mae = float(np.abs(F - f_ref).mean())
         e_mae = float(np.abs(E - ds['E'][ti]).mean())
 
+        pred = GDMLPredict(model, dtype=dtype, batch_size=n_bulk)
         R_bulk = ds['R'][:n_bulk].reshape(n_bulk, -1)
-        pred.predict(R_bulk[:batch_size])  # warm-up compile
-        t0 = timeit.default_timer()
-        pred.predict(R_bulk)
-        dt = timeit.default_timer() - t0
+        pred.predict(R_bulk)  # warm-up compile
+        dt = float('inf')
+        for _ in range(3):
+            t0 = timeit.default_timer()
+            pred.predict(R_bulk)
+            dt = min(dt, timeit.default_timer() - t0)
         return n_bulk / dt, f_mae, e_mae
 
     gps64, f_mae64, e_mae64 = measure(jnp.float64)

@@ -288,6 +288,9 @@ class GDMLTrain:
         factors fit the budget, Nystrom-preconditioned CG otherwise. Pass
         ``solver='analytic'`` or ``'cg'`` to override.
         """
+        from .utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
         task = dict(task)
         n_train, n_atoms = task['R_train'].shape[:2]
 
@@ -298,12 +301,13 @@ class GDMLTrain:
                 jnp.asarray(np.linalg.inv(task['lattice'])),
             )
 
-        R = task['R_train'].reshape(n_train, -1)
-        R_desc, R_d_desc = desc_ops.descriptor_batch(
-            jnp.asarray(R), n_atoms, lat_and_inv
-        )
-        R_desc = np.asarray(R_desc)
-        R_d_desc = np.asarray(R_d_desc)
+        with timer.phase('descriptors'):
+            R = task['R_train'].reshape(n_train, -1)
+            R_desc, R_d_desc = desc_ops.descriptor_batch(
+                jnp.asarray(R), n_atoms, lat_and_inv
+            )
+            R_desc = np.asarray(R_desc)
+            R_d_desc = np.asarray(R_d_desc)
 
         dperms = desc_perm_table(task['perms'])
 
@@ -327,29 +331,31 @@ class GDMLTrain:
         if solver == 'analytic':
             log.info('Using analytic solver.')
             analytic = Analytic(self, callback=callback)
-            alphas = analytic.solve(task, R_desc, R_d_desc, dperms, y)
+            with timer.phase('solve (analytic: assembly + Cholesky)'):
+                alphas = analytic.solve(task, R_desc, R_d_desc, dperms, y)
         else:
             from .solvers.iterative import Iterative
 
             log.info('Using iterative solver (Nystrom-preconditioned CG).')
             iterative = Iterative(self, callback=callback)
-            (
-                alphas,
-                solver_keys['solver_tol'],
-                solver_keys['solver_iters'],
-                solver_keys['solver_resid'],
-                train_rmse,
-                solver_keys['inducing_pts_idxs'],
-                is_conv,
-            ) = iterative.solve(
-                task,
-                R_desc,
-                R_d_desc,
-                dperms,
-                y,
-                y_std,
-                save_progr_callback=save_progr_callback,
-            )
+            with timer.phase('solve (iterative: Nystrom-pCG)'):
+                (
+                    alphas,
+                    solver_keys['solver_tol'],
+                    solver_keys['solver_iters'],
+                    solver_keys['solver_resid'],
+                    train_rmse,
+                    solver_keys['inducing_pts_idxs'],
+                    is_conv,
+                ) = iterative.solve(
+                    task,
+                    R_desc,
+                    R_d_desc,
+                    dperms,
+                    y,
+                    y_std,
+                    save_progr_callback=save_progr_callback,
+                )
             solver_keys['norm_y_train'] = float(np.linalg.norm(y))
             if not is_conv:
                 log.warning(
@@ -365,17 +371,21 @@ class GDMLTrain:
             alphas_E = alphas[-n_train:]
             alphas_F = alphas[:-n_train]
 
-        model = self.create_model(
-            task, solver, R_desc, R_d_desc, y_std, alphas_F, alphas_E=alphas_E
-        )
-        model.update(solver_keys)
+        with timer.phase('model creation'):
+            model = self.create_model(
+                task, solver, R_desc, R_d_desc, y_std, alphas_F,
+                alphas_E=alphas_E,
+            )
+            model.update(solver_keys)
 
         if model['use_E']:
-            model['c'] = (
-                self._recov_int_const(model, task, R_desc, R_d_desc)
-                if E_train_mean is None
-                else E_train_mean
-            )
+            with timer.phase('integration constant'):
+                model['c'] = (
+                    self._recov_int_const(model, task, R_desc, R_d_desc)
+                    if E_train_mean is None
+                    else E_train_mean
+                )
+        timer.log_summary(logging.DEBUG)
         return model
 
     def _recov_int_const(self, model, task, R_desc, R_d_desc) -> float:
