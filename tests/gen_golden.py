@@ -148,6 +148,10 @@ def gen_train_predict():
     )
     print('train_predict_ref.npz  c=%.6f std=%.6f' % (model['c'], model['std']))
 
+    # Also save the reference's complete model artifact for interop tests.
+    np.savez_compressed(OUT / 'model_ref.npz', **model)
+    print('model_ref.npz')
+
 
 def gen_perms():
     """Reference find_perms on the symmetric synthetic molecule."""

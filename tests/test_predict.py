@@ -128,3 +128,66 @@ def test_set_alphas_roundtrip():
     pred.set_R_d_desc(Jc)
     pred.set_alphas(model['alphas_F'])
     np.testing.assert_allclose(np.asarray(pred.JA), JA_orig, rtol=1e-9, atol=1e-12)
+
+
+def test_reference_model_file_loads_and_predicts():
+    """A complete model npz written by the *reference* implementation
+    loads and predicts identically in this framework (cross-framework
+    artifact compatibility)."""
+    fix = GOLDEN / 'model_ref.npz'
+    if not fix.exists():
+        pytest.skip('golden fixture not generated')
+    from sgdml_tpu.utils import io
+
+    model = io.load_dict(str(fix))
+    data, _ = _load_model_fixture()
+    pred = GDMLPredict(model)
+    E, F = pred.predict(data['R_test'])
+    np.testing.assert_allclose(E, data['e_pred'], rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(F, data['f_pred'], rtol=1e-8, atol=1e-9)
+
+
+def test_our_model_file_readable_by_reference():
+    """Reverse interop: a model trained+saved by this framework must be
+    consumable by the reference implementation (requires /root/reference;
+    skipped elsewhere)."""
+    import os
+    import sys
+
+    ref_path = os.environ.get('SGDML_REFERENCE', '/root/reference')
+    if not os.path.isdir(ref_path):
+        pytest.skip('reference implementation not available')
+    data, model = _load_model_fixture()
+
+    import tempfile
+
+    from sgdml_tpu.train import GDMLTrain
+    from sgdml_tpu.utils import io
+
+    # Train a tiny model and round-trip through npz.
+    ds = {
+        'type': 'd', 'name': np.array('x'), 'theory': np.array('t'),
+        'z': data['z'], 'R': data['R'], 'E': data['E'], 'F': data['F'],
+    }
+    trainer = GDMLTrain()
+    np.random.seed(7)
+    task = trainer.create_task(ds, 30, ds, 20, sig=4.0, lam=1e-10,
+                               use_sym=False, use_E=True)
+    m = trainer.train(task, solver='analytic')
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, 'm.npz')
+        io.save_dict(path, m)
+
+        sys.path.insert(0, ref_path)
+        try:
+            from sgdml.predict import GDMLPredict as RefPredict
+
+            with np.load(path, allow_pickle=True) as h:
+                loaded = dict(h)
+            e, f = RefPredict(loaded, max_processes=1).predict(
+                data['R_test']
+            )
+        finally:
+            sys.path.remove(ref_path)
+    np.testing.assert_allclose(e, data['e_pred'], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(f, data['f_pred'], rtol=1e-5, atol=1e-6)
