@@ -283,16 +283,20 @@ class GDMLPredict:
             R = np.concatenate([R, np.tile(R[-1:], (Bp - B, 1))], axis=0)
 
         lat, lat_inv = (None, None) if self.lat_and_inv is None else self.lat_and_inv
-        E_out = np.empty(Bp)
-        F_out = np.empty((Bp, self.dim_i))
+        # Dispatch every bucket asynchronously before synchronizing any —
+        # XLA overlaps the host->device transfers with compute, which
+        # matters when device dispatch has high latency.
+        results = []
         for b0 in range(0, Bp, bs):
             Rb = jnp.asarray(R[b0 : b0 + bs], dtype=self.dtype)
-            E, F = _predict_geoms(
-                Rb, self.Xt, self.JA, self.alphas_E_lin, lat, lat_inv,
-                self.sig, self.std, self.c, n_atoms=self.n_atoms,
+            results.append(
+                _predict_geoms(
+                    Rb, self.Xt, self.JA, self.alphas_E_lin, lat, lat_inv,
+                    self.sig, self.std, self.c, n_atoms=self.n_atoms,
+                )
             )
-            E_out[b0 : b0 + bs] = np.asarray(E)
-            F_out[b0 : b0 + bs] = np.asarray(F)
+        E_out = np.concatenate([np.asarray(E) for E, _ in results])
+        F_out = np.concatenate([np.asarray(F) for _, F in results])
         return (E_out[:B], F_out[:B]) if return_E else (None, F_out[:B])
 
     def prepare_parallel(self, n_bulk: int = 1000, use_cache: bool = True):
