@@ -1,0 +1,143 @@
+"""Large-system benchmarks (BASELINE.md configs 3-5 analogs).
+
+Not part of the driver's one-line bench; run manually:
+
+    python bench_large.py [aspirin|atat|sym|md]
+
+* ``aspirin``: aspirin-sized (N=21) M=1000 training with the iterative
+  Nystrom-pCG solver + held-out force MAE.
+* ``atat``:    AT-AT-sized (N=60) M=600 iterative training (scaled to
+  single-chip HBM; the real MD22 config is M=3000 on a pod slice).
+* ``sym``:     symmetry discovery + sGDML-vs-GDML force-MAE comparison.
+* ``md``:      on-device NVE molecular dynamics throughput + energy drift.
+"""
+
+import json
+import sys
+import timeit
+
+import numpy as np
+
+
+def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False):
+    from sgdml_tpu.train import GDMLTrain
+
+    trainer = GDMLTrain()
+    np.random.seed(1)
+    task = trainer.create_task(
+        ds, m_train, ds, 200, sig=sig, lam=lam, use_sym=use_sym, use_E=True
+    )
+    t0 = timeit.default_timer()
+    model = trainer.train(task, solver=solver)
+    t_train = timeit.default_timer() - t0
+    return task, model, t_train
+
+
+def _force_mae(ds, task, model, n_test=500):
+    from sgdml_tpu.predict import GDMLPredict
+
+    ti = np.setdiff1d(np.arange(len(ds['R'])), task['idxs_train'])[:n_test]
+    pred = GDMLPredict(model, batch_size=min(len(ti), 512))
+    _, F = pred.predict(ds['R'][ti].reshape(len(ti), -1))
+    f_ref = ds['F'][ti].reshape(len(ti), -1)
+    return float(np.abs(F - f_ref).mean()), float(np.abs(f_ref).mean())
+
+
+def bench_aspirin():
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+
+    ds = generate_md_dataset(n_atoms=21, n_frames=2200, seed=10)
+    task, model, t_train = _train(ds, 1000, sig=15.0, solver='cg')
+    mae, scale = _force_mae(ds, task, model)
+    out = {
+        'config': 'aspirin-sized N=21 M=1000 iterative (Nystrom-pCG)',
+        'train_s': round(t_train, 2),
+        'cg_iters': int(model.get('solver_iters', -1)),
+        'converged': bool(
+            model['solver_resid'] <= model['solver_tol'] * model['norm_y_train']
+        ),
+        'force_mae': round(mae, 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
+def bench_atat():
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+
+    ds = generate_md_dataset(n_atoms=60, n_frames=1400, seed=11)
+    task, model, t_train = _train(ds, 600, sig=25.0, solver='cg')
+    mae, scale = _force_mae(ds, task, model, n_test=300)
+    out = {
+        'config': 'AT-AT-sized N=60 M=600 iterative (Nystrom-pCG)',
+        'train_s': round(t_train, 2),
+        'cg_iters': int(model.get('solver_iters', -1)),
+        'converged': bool(
+            model['solver_resid'] <= model['solver_tol'] * model['norm_y_train']
+        ),
+        'force_mae': round(mae, 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
+def bench_sym():
+    from sgdml_tpu.datasets.synthetic import generate_symmetric_md_dataset
+    from sgdml_tpu import perm as perm_mod
+
+    ds = generate_symmetric_md_dataset(n_frames=600, seed=0)
+    t0 = timeit.default_timer()
+    perms = perm_mod.find_perms(ds['R'][:100], ds['z'])
+    t_perm = timeit.default_timer() - t0
+
+    maes = {}
+    for use_sym in (False, True):
+        task, model, t_train = _train(
+            ds, 100, sig=6.0, solver='analytic', use_sym=use_sym
+        )
+        maes[use_sym], scale = _force_mae(ds, task, model, n_test=300)
+    out = {
+        'config': 'symmetry discovery + sGDML vs GDML (synthetic CH3-CH3)',
+        'n_perms_found': int(perms.shape[0]),
+        'discovery_s': round(t_perm, 2),
+        'force_mae_gdml': round(maes[False], 5),
+        'force_mae_sgdml': round(maes[True], 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
+def bench_md():
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+    from sgdml_tpu.md import MDEngine
+
+    ds = generate_md_dataset(n_atoms=9, n_frames=600, seed=0)
+    task, model, _ = _train(ds, 200, sig=10.0, solver='analytic')
+    engine = MDEngine(model)
+    r0 = ds['R'][0]
+    v0 = np.zeros_like(r0)
+    n_steps = 2000
+    engine.run_nve(r0, v0, dt=0.01, n_steps=100, snapshot_every=100)  # warm
+    t0 = timeit.default_timer()
+    R, V, E_pot, E_kin = engine.run_nve(
+        r0, v0, dt=0.01, n_steps=n_steps, snapshot_every=100
+    )
+    dt = timeit.default_timer() - t0
+    E_tot = E_pot + E_kin
+    out = {
+        'config': 'on-device NVE MD (N=9, trained model)',
+        'md_steps_per_sec': round(n_steps / dt, 1),
+        'energy_drift': float(np.abs(E_tot - E_tot[0]).max()),
+        'kinetic_scale': float(np.abs(E_kin).max()),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    which = sys.argv[1] if len(sys.argv) > 1 else 'sym'
+    {
+        'aspirin': bench_aspirin,
+        'atat': bench_atat,
+        'sym': bench_sym,
+        'md': bench_md,
+    }[which]()
