@@ -11,7 +11,6 @@ Prints ONE JSON line:
 """
 
 import json
-import os
 import pathlib
 import sys
 import timeit

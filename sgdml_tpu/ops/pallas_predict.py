@@ -24,7 +24,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # Pallas is optional at import time (CPU test environments).
     from jax.experimental import pallas as pl

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import descriptor as desc_ops
-from ..ops.kernel import Mat52Coeffs, assemble_kernel_columns, perm_tables
+from ..ops.kernel import assemble_kernel_columns
 from ..predict import predict_from_tables
 
 log = logging.getLogger(__name__)
