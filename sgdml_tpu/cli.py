@@ -394,29 +394,28 @@ def resume(args):
 
 
 def show(args):
+    """Pretty-print any npz artifact (reference: sgdml/cli.py:1940-1952)."""
     data = io.load_dict(args.file)
-    kind = {'d': 'dataset', 't': task_str(data), 'm': 'model'}.get(
+    kind = {'d': 'dataset', 't': 'task', 'm': 'model'}.get(
         io.artifact_type(data), 'unknown'
     )
     print('type: %s' % kind)
     for k in sorted(data.keys()):
         v = data[k]
-        if isinstance(v, np.ndarray):
-            if v.size <= 8:
-                print('  %-20s %s' % (k, np.array2string(v.ravel())))
-            else:
-                print(
-                    '  %-20s array%s %s  [%.4g .. %.4g]'
-                    % (k, list(v.shape), v.dtype, v.min() if v.dtype.kind in 'fiu' else 0, v.max() if v.dtype.kind in 'fiu' else 0)
-                    if v.dtype.kind in 'fiu'
-                    else '  %-20s array%s %s' % (k, list(v.shape), v.dtype)
-                )
+        if isinstance(v, np.ndarray) and v.size > 8:
+            desc = '  %-20s array%s %s' % (k, list(v.shape), v.dtype)
+            if v.dtype.kind in 'fiu':
+                desc += '  [%.4g .. %.4g]' % (v.min(), v.max())
+            print(desc)
+        elif isinstance(v, np.ndarray):
+            print('  %-20s %s' % (k, np.array2string(v.ravel())))
         else:
             print('  %-20s %s' % (k, v))
+    if kind == 'dataset' and 'lattice' in data:
+        from .utils import ui
 
-
-def task_str(data):
-    return 'task'
+        print('lattice:')
+        ui.print_lattice(data['lattice'])
 
 
 def reset(args):
