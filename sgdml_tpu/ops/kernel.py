@@ -417,7 +417,13 @@ def _assemble_columns_jit(
     Xr = jnp.pad(X, ((0, m_pad - m), (0, 0)))
     Jcr = jnp.pad(Jc, ((0, m_pad - m), (0, 0), (0, 0)))
 
-    def body(_, ti):
+    # Preallocate the (row-padded) output and write strips in place — this
+    # matrix is the memory high-water mark of the Nystrom build, so avoid
+    # the extra full-size copies a stacked-scan formulation would make.
+    n_rows_pad = m_pad * dim_i + (m_pad if use_E_cstr else 0)
+    K0 = jnp.zeros((n_rows_pad, n_cols), dtype=X.dtype)
+
+    def body(ti, K):
         i0 = ti * tile_i
         Xi = jax.lax.dynamic_slice_in_dim(Xr, i0, tile_i, 0)
         Jci = jax.lax.dynamic_slice_in_dim(Jcr, i0, tile_i, 0)
@@ -436,6 +442,7 @@ def _assemble_columns_jit(
             'icp,icpx->icx', cc, g
         )
         blk = blk.transpose(0, 2, 1).reshape(tile_i * dim_i, n_cols)
+        K = jax.lax.dynamic_update_slice(K, blk, (i0 * dim_i, 0))
 
         if use_E_cstr:
             # Energy-constraint rows under these force columns:
@@ -443,15 +450,21 @@ def _assemble_columns_jit(
             # (reference: sgdml/train.py:235-248).
             w = Mat52Coeffs.grad(u5, sig)  # (I, C, P)
             fe = -jnp.einsum('icp,icp->ic', w, cj)  # (I, C)
-            return None, (blk, fe)
-        return None, (blk, jnp.zeros((tile_i, n_cols), dtype=X.dtype))
+            K = jax.lax.dynamic_update_slice(K, fe, (m_pad * dim_i + i0, 0))
+        return K
 
-    _, (blocks, fe_rows) = jax.lax.scan(body, None, jnp.arange(n_ti))
-    K_cols = blocks.reshape(m_pad * dim_i, n_cols)[: m * dim_i]
+    K_cols = jax.lax.fori_loop(0, n_ti, body, K0)
+    if m_pad == m:
+        return K_cols
     if use_E_cstr:
-        fe = fe_rows.reshape(m_pad, n_cols)[:m]
-        K_cols = jnp.concatenate([K_cols, fe], axis=0)
-    return K_cols
+        return jnp.concatenate(
+            [
+                K_cols[: m * dim_i],
+                K_cols[m_pad * dim_i : m_pad * dim_i + m],
+            ],
+            axis=0,
+        )
+    return K_cols[: m * dim_i]
 
 
 def assemble_kernel_columns(

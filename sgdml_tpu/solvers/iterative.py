@@ -129,7 +129,7 @@ def _make_pcg_chunk(A_apply, lam, b_norm, rtol, chunk_iters):
     return pcg_chunk
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     """Build the Woodbury factor F (k, n) from PSD kernel columns.
 
@@ -167,13 +167,15 @@ class Iterative:
         """Assemble PSD columns on device and build the Woodbury factor,
         with an escalating regularization ladder (reference behavior:
         iterative.py:414-471)."""
-        C = -assemble_kernel_columns(
-            X, Jc, dperms, sig, n_atoms, col_idxs, use_E_cstr=use_E_cstr
-        )  # PSD columns (n, k); inducing columns are force columns
         cols = jnp.asarray(np.asarray(col_idxs, dtype=np.int64))
 
-        eps = np.finfo(np.float64).eps
         for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
+            # The column matrix is donated into the factor computation (it
+            # is the memory high-water mark); on the rare retry with more
+            # regularization it is simply re-assembled.
+            C = -assemble_kernel_columns(
+                X, Jc, dperms, sig, n_atoms, col_idxs, use_E_cstr=use_E_cstr
+            )  # PSD columns (n, k); inducing columns are force columns
             F, lev, ok = _nystrom_factor_from_cols(C, cols, lam, reg, reg)
             if bool(ok):
                 if reg > 0:
