@@ -192,3 +192,103 @@ def find_perms(R, z, lat_and_inv=None, callback=None, max_processes=None):
 
     log.info('Found %d symmetries.', sym_group_perms.shape[0])
     return sym_group_perms
+
+
+# ---------------------------------------------------------------------------
+# Experimental: fragment-based and alignment-based discovery
+# (the reference ships these gated off — USE_FRAG_PERMS/USE_EXTRA_PERMS are
+# False in sgdml/train.py:589,605; provided here for parity, same status)
+# ---------------------------------------------------------------------------
+
+
+def find_frags(r: np.ndarray, z: np.ndarray, cutoff: float = 1.9):
+    """Partition atoms into molecular fragments by bond-distance cutoff
+    (connected components; reference: sgdml/utils/perm.py:527).
+
+    Returns a list of index arrays, one per fragment.
+    """
+    from scipy.sparse.csgraph import connected_components
+
+    r = np.asarray(r).reshape(-1, 3)
+    dist = np.linalg.norm(r[:, None] - r[None, :], axis=-1)
+    adj = (dist < cutoff) & ~np.eye(len(r), dtype=bool)
+    n_comp, labels = connected_components(
+        scipy.sparse.csr_matrix(adj), directed=False
+    )
+    return [np.where(labels == i)[0] for i in range(n_comp)]
+
+
+def _kabsch_rotation(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Optimal rotation aligning centered point sets p -> q (Kabsch/SVD;
+    reference: sgdml/utils/perm.py:790)."""
+    h = p.T @ q
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    corr = np.diag([1.0, 1.0, d])
+    return vt.T @ corr @ u.T
+
+
+def find_perms_via_alignment(r_a, r_b, z, max_cost: float = 1.0):
+    """Match atoms of two geometries after optimal rigid alignment
+    (Kabsch + Hungarian with species constraint). Returns a permutation
+    ``perm`` with ``r_a[perm] ~ aligned r_b``, or None if the match is
+    poor (cost above ``max_cost`` per atom)."""
+    r_a = np.asarray(r_a).reshape(-1, 3)
+    r_b = np.asarray(r_b).reshape(-1, 3)
+    z = np.asarray(z)
+
+    ca, cb = r_a - r_a.mean(0), r_b - r_b.mean(0)
+    rot = _kabsch_rotation(cb, ca)
+    cb = cb @ rot.T
+
+    cost = np.linalg.norm(ca[None, :, :] - cb[:, None, :], axis=-1)
+    cost = cost + (z[None, :] != z[:, None]) * (10.0 + cost.max())
+    rows, perm = scipy.optimize.linear_sum_assignment(cost)
+    if cost[rows, perm].mean() > max_cost:
+        return None
+    return perm
+
+
+def find_frag_perms(R, z, lat_and_inv=None, cutoff: float = 1.9,
+                    max_processes=None):
+    """Permutations that exchange identical molecular fragments
+    (experimental; reference: sgdml/utils/perm.py:564, gated off there).
+
+    For each geometry, fragments with identical species multisets are
+    aligned pairwise; good alignments yield atom permutations that swap
+    the two fragments while fixing all others.
+    """
+    R = np.asarray(R)
+    if R.ndim == 2:
+        R = R.reshape(R.shape[0], -1, 3)
+    z = np.asarray(z)
+    n_atoms = R.shape[1]
+
+    r0 = R[0]
+    frags = find_frags(r0, z, cutoff=cutoff)
+    perms = {tuple(np.arange(n_atoms))}
+
+    for i in range(len(frags)):
+        for j in range(i + 1, len(frags)):
+            fi, fj = frags[i], frags[j]
+            if len(fi) != len(fj):
+                continue
+            if sorted(z[fi]) != sorted(z[fj]):
+                continue
+            match = find_perms_via_alignment(r0[fi], r0[fj], z[fi])
+            if match is None:
+                continue
+            # Build the atom permutation swapping fragments i and j.
+            perm = np.arange(n_atoms)
+            # r0[fi][match] aligns to r0[fj]: atom fj[k] maps to fi[match[k]].
+            perm[fj] = fi[match]
+            match_back = find_perms_via_alignment(r0[fj], r0[fi], z[fj])
+            if match_back is None:
+                continue
+            perm[fi] = fj[match_back]
+            if np.array_equal(np.sort(perm), np.arange(n_atoms)):
+                perms.add(tuple(perm))
+
+    out = np.array(sorted(perms))
+    group = complete_sym_group(out)
+    return out if group is None else group

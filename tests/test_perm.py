@@ -112,3 +112,37 @@ def test_symmetrized_training_improves_or_matches(sym_dataset):
         maes[use_sym] = np.abs(F - f_ref).mean()
 
     assert maes[True] <= maes[False] * 1.1, maes
+
+
+def test_fragment_perm_discovery():
+    """Two identical displaced fragments -> the fragment-swap permutation
+    (experimental path; gated off in the reference as well)."""
+    frag = np.array([[0.0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+    r = np.vstack([frag, frag + np.array([5.0, 0, 0])])
+    z = np.array([8, 1, 1, 8, 1, 1])
+
+    frags = perm_mod.find_frags(r, z, cutoff=1.5)
+    assert sorted(map(len, frags)) == [3, 3]
+
+    perms = perm_mod.find_frag_perms(r[None], z)
+    assert perms.shape[0] == 2
+    assert (perms == np.array([3, 4, 5, 0, 1, 2])).all(axis=1).any()
+
+
+def test_alignment_match_recovers_rotation():
+    """Kabsch alignment assumes approximate index correspondence (as in
+    the reference's fragment matching); a rotated+translated copy must
+    match with the identity permutation."""
+    rng = np.random.default_rng(0)
+    r = rng.normal(size=(6, 3))
+    z = np.array([6, 6, 1, 1, 8, 8])
+    theta = 0.7
+    rot = np.array([
+        [np.cos(theta), -np.sin(theta), 0],
+        [np.sin(theta), np.cos(theta), 0],
+        [0, 0, 1.0],
+    ])
+    r_b = r @ rot.T + np.array([1.0, -2.0, 3.0])
+    perm = perm_mod.find_perms_via_alignment(r, r_b, z)
+    assert perm is not None
+    np.testing.assert_array_equal(np.asarray(perm), np.arange(6))
