@@ -475,6 +475,12 @@ def assemble_kernel_columns(
     columns). With ``use_E_cstr`` the M energy-constraint rows are appended
     (columns remain force columns — a valid PSD preconditioner basis for
     the extended system)."""
+    m = R_desc.shape[0]
+    # Prefer a tile size that divides M exactly: padding would force a
+    # full-matrix copy at the end (the peak allocation of this routine).
+    tile_i = min(tile_i, m)
+    while m % tile_i != 0 and tile_i > 1:
+        tile_i -= 1
     return _assemble_columns_jit(
         jnp.asarray(R_desc),
         jnp.asarray(R_d_desc),

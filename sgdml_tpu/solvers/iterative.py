@@ -136,18 +136,32 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     C_psd: (n, k) PSD columns. cols: (k,) row indices of the inducing
     columns. reg_w / reg_i: diagonal regularization added before the two
     Cholesky stages (host ladder retries with larger values on failure).
+
+    Triangular solves with the huge (k, n) right-hand side use the blocked
+    substitution from ops/linalg — XLA's native f64 TriangularSolve stages
+    O(k/nb) full-size temporaries on TPU, which exhausts HBM at MD22 scale.
     """
+    from ..ops.linalg import blocked_tri_solve
+
     k = C_psd.shape[1]
+    nb = 128 if k % 128 == 0 else _largest_divisor(k, 128)
     W = C_psd[cols, :] + reg_w * jnp.eye(k, dtype=C_psd.dtype)
     Lw = jnp.linalg.cholesky(W)
     # Q = C L_w^{-T}: solve L_w Q^T = C^T  (lower, no transpose).
-    Qt = jax.scipy.linalg.solve_triangular(Lw, C_psd.T, lower=True)  # (k, n)
+    Qt = blocked_tri_solve(Lw, C_psd.T, nb=nb)  # (k, n)
     inner = Qt @ Qt.T + (lam + reg_i) * jnp.eye(k, dtype=C_psd.dtype)
     L = jnp.linalg.cholesky(inner)
-    F = jax.scipy.linalg.solve_triangular(L, Qt, lower=True)  # (k, n)
+    F = blocked_tri_solve(L, Qt, nb=nb)  # (k, n)
     lev_scores = jnp.sum(F * F, axis=0)
     ok = jnp.logical_and(jnp.all(jnp.isfinite(Lw)), jnp.all(jnp.isfinite(L)))
     return F, lev_scores, ok
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
 
 
 # ---------------------------------------------------------------------------
