@@ -101,7 +101,10 @@ def _make_pcg_chunk(A_apply, lam, b_norm, rtol, chunk_iters):
     @jax.jit
     def pcg_chunk(state, Fp):
         def M_apply(v):
-            return (v - Fp.T @ (Fp @ v)) / lam
+            # Mixed precision: the Woodbury factor lives in f32 (memory +
+            # MXU speed); the correction is cast back to the CG dtype.
+            corr = (Fp.T @ (Fp @ v.astype(Fp.dtype))).astype(v.dtype)
+            return (v - corr) / lam
 
         def cond(carry):
             _, r, _, _, _, it, _ = carry
@@ -129,6 +132,50 @@ def _make_pcg_chunk(A_apply, lam, b_norm, rtol, chunk_iters):
     return pcg_chunk
 
 
+_SOLVE_CHUNK = 8192  # columns per triangular-solve / gram chunk
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
+def _tri_solve_cols_chunked(L, B, *, nb):
+    """Solve ``L Y = B`` for a huge ``(k, n)`` RHS in column chunks.
+
+    Columns of the RHS are independent, so chunking bounds the transient
+    memory of TPU f64 matmul emulation (which stages ~2x-size bf16 split
+    copies of every large matmul operand) at one chunk instead of the full
+    matrix. ``B`` is donated and overwritten chunk by chunk.
+    """
+    from ..ops.linalg import blocked_tri_solve
+
+    k, n = B.shape
+    chunk = min(_SOLVE_CHUNK, n)
+    n_chunks = -(-n // chunk)
+
+    def body(i, Bacc):
+        # Clamped start: the final chunk re-covers earlier columns, which
+        # is harmless (they are re-solved to the same values).
+        c0 = jnp.minimum(i * chunk, n - chunk)
+        sl = jax.lax.dynamic_slice(Bacc, (0, c0), (k, chunk))
+        ych = blocked_tri_solve(L, sl, nb=nb)
+        return jax.lax.dynamic_update_slice(Bacc, ych, (0, c0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, B)
+
+
+def _chunked_gram(Qt, chunk: int = 4096):
+    """``Qt @ Qt.T`` accumulated over column chunks — avoids the full-width
+    matmul temporaries that exhaust HBM at MD22 scale."""
+    k, n = Qt.shape
+    n_pad = -(-n // chunk) * chunk
+    Qt_p = jnp.pad(Qt, ((0, 0), (0, n_pad - n)))
+
+    def body(i, acc):
+        sl = jax.lax.dynamic_slice_in_dim(Qt_p, i * chunk, chunk, 1)
+        return acc + sl @ sl.T
+
+    acc0 = jnp.zeros((k, k), dtype=Qt.dtype)
+    return jax.lax.fori_loop(0, n_pad // chunk, body, acc0)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     """Build the Woodbury factor F (k, n) from PSD kernel columns.
@@ -137,21 +184,23 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     columns. reg_w / reg_i: diagonal regularization added before the two
     Cholesky stages (host ladder retries with larger values on failure).
 
-    Triangular solves with the huge (k, n) right-hand side use the blocked
-    substitution from ops/linalg — XLA's native f64 TriangularSolve stages
-    O(k/nb) full-size temporaries on TPU, which exhausts HBM at MD22 scale.
+    Numerics must stay in f64: the Woodbury correction ``(v - F^T F v)/lam``
+    cancels catastrophically at lam ~ 1e-10, so an f32 factor destroys CG
+    convergence (measured). Memory is bounded instead by chunking every
+    (k, n)-sized operation (triangular solves, gram) over columns.
     """
-    from ..ops.linalg import blocked_tri_solve
-
     k = C_psd.shape[1]
+    dt = C_psd.dtype
     nb = 128 if k % 128 == 0 else _largest_divisor(k, 128)
-    W = C_psd[cols, :] + reg_w * jnp.eye(k, dtype=C_psd.dtype)
+    W = C_psd[cols, :] + jnp.asarray(reg_w, dt) * jnp.eye(k, dtype=dt)
     Lw = jnp.linalg.cholesky(W)
     # Q = C L_w^{-T}: solve L_w Q^T = C^T  (lower, no transpose).
-    Qt = blocked_tri_solve(Lw, C_psd.T, nb=nb)  # (k, n)
-    inner = Qt @ Qt.T + (lam + reg_i) * jnp.eye(k, dtype=C_psd.dtype)
+    Qt = _tri_solve_cols_chunked(Lw, C_psd.T, nb=nb)  # (k, n)
+    inner = _chunked_gram(Qt) + jnp.asarray(lam + reg_i, dt) * jnp.eye(
+        k, dtype=dt
+    )
     L = jnp.linalg.cholesky(inner)
-    F = blocked_tri_solve(L, Qt, nb=nb)  # (k, n)
+    F = _tri_solve_cols_chunked(L, Qt, nb=nb)  # (k, n)
     lev_scores = jnp.sum(F * F, axis=0)
     ok = jnp.logical_and(jnp.all(jnp.isfinite(Lw)), jnp.all(jnp.isfinite(L)))
     return F, lev_scores, ok
@@ -177,10 +226,14 @@ class Iterative:
 
     # -- preconditioner ----------------------------------------------------
 
-    def _build_factor(self, X, Jc, dperms, sig, lam, col_idxs, n_atoms, use_E_cstr):
+    def _build_factor(self, X, Jc, dperms, sig, lam, col_idxs, n_atoms,
+                      use_E_cstr):
         """Assemble PSD columns on device and build the Woodbury factor,
         with an escalating regularization ladder (reference behavior:
-        iterative.py:414-471)."""
+        iterative.py:414-471). f64 throughout — the Woodbury correction
+        cancels catastrophically at small lam, so lower precision breaks CG
+        (measured); memory is controlled by chunking instead.
+        """
         cols = jnp.asarray(np.asarray(col_idxs, dtype=np.int64))
 
         for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
@@ -194,7 +247,7 @@ class Iterative:
             if bool(ok):
                 if reg > 0:
                     log.debug('Nystrom factor needed regularization %g.', reg)
-                return F, np.asarray(lev)
+                return F, np.asarray(lev, dtype=np.float64)
         raise RuntimeError(
             'Failed to factorize the Nystrom preconditioner despite strong '
             'regularization. Try a larger sigma.'
@@ -308,7 +361,8 @@ class Iterative:
                 x_init if x_init is not None else np.zeros(n), dtype=b.dtype
             )
             r = b - A_apply(x)
-            z = (r - Fp_cur.T @ (Fp_cur @ r)) / lam
+            corr = (Fp_cur.T @ (Fp_cur @ r.astype(Fp_cur.dtype))).astype(r.dtype)
+            z = (r - corr) / lam
             rz = r @ z
             return (x, r, z, z, rz, 0, jnp.zeros(CG_CHUNK_ITERS))
 
