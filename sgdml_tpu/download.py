@@ -14,6 +14,7 @@ import os
 import sys
 
 BASE_URL = 'http://www.quantum-machine.org/gdml/data/npz/'
+MODELS_URL = 'http://www.quantum-machine.org/gdml/models/'
 
 # Catalog of the published sGDML benchmark datasets (MD17 / MD22 families).
 DATASETS = {
@@ -54,10 +55,10 @@ def resolve(name: str) -> str:
     )
 
 
-def download(filename: str, dest_dir: str = '.') -> str:
+def download(filename: str, dest_dir: str = '.', base_url: str = BASE_URL) -> str:
     import urllib.request
 
-    url = BASE_URL + filename
+    url = base_url + filename
     dest = os.path.join(dest_dir, filename)
     print('Downloading %s ...' % url)
     try:
@@ -89,9 +90,10 @@ def download(filename: str, dest_dir: str = '.') -> str:
 
 def main(argv=None):
     p = argparse.ArgumentParser(
-        description='Download public sGDML benchmark datasets.'
+        description='Download public sGDML benchmark datasets and '
+        'pre-trained models (reference parity: sgdml-get dataset|model).'
     )
-    p.add_argument('command', choices=['dataset', 'list'])
+    p.add_argument('command', choices=['dataset', 'model', 'list'])
     p.add_argument('name', nargs='?', default=None)
     p.add_argument('-d', '--dest', default='.')
     args = p.parse_args(argv)
@@ -100,7 +102,8 @@ def main(argv=None):
         for key, fname in sorted(DATASETS.items()):
             print('%-20s %s' % (key, fname))
         return
-    dest = download(resolve(args.name), args.dest)
+    base = MODELS_URL if args.command == 'model' else BASE_URL
+    dest = download(resolve(args.name), args.dest, base_url=base)
     print('Saved to %s' % dest)
 
 

@@ -227,8 +227,21 @@ class GDMLPredict:
 
     # -- main API ----------------------------------------------------------
 
-    def _pad(self, B: int) -> int:
+    def _bucket(self, B: int) -> int:
+        """Effective bucket for a request of B geometries: the configured
+        bucket, or the next power of two below it for small inputs — at
+        most log2(batch_size) distinct compiled programs, no full-bucket
+        padding waste for single-geometry (MD) calls."""
         b = self.batch_size
+        if B >= b:
+            return b
+        p = 1
+        while p < B:
+            p <<= 1
+        return min(p, b)
+
+    def _pad(self, B: int) -> int:
+        b = self._bucket(B)
         return -(-B // b) * b
 
     def predict(self, R=None, R_desc=None, R_d_desc=None, return_E=True):
@@ -277,7 +290,7 @@ class GDMLPredict:
             R = R[None, :]
         R = R.reshape(R.shape[0], -1)
         B = R.shape[0]
-        bs = self.batch_size
+        bs = self._bucket(R.shape[0])
         Bp = self._pad(B)
         if Bp != B:
             R = np.concatenate([R, np.tile(R[-1:], (Bp - B, 1))], axis=0)
