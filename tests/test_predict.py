@@ -111,8 +111,10 @@ def test_batch_padding_consistency():
     pred = GDMLPredict(model, batch_size=16)
     E_all, F_all = pred.predict(data['R_test'])  # 20 rows -> padded to 32
     E_one, F_one = pred.predict(data['R_test'][3])
-    np.testing.assert_allclose(E_one[0], E_all[3], rtol=1e-12)
-    np.testing.assert_allclose(F_one[0], F_all[3], rtol=1e-12)
+    # Different bucket sizes change reduction order; agreement is to
+    # f64 round-off, not bitwise.
+    np.testing.assert_allclose(E_one[0], E_all[3], rtol=1e-10)
+    np.testing.assert_allclose(F_one[0], F_all[3], rtol=1e-9, atol=1e-12)
 
 
 def test_set_alphas_roundtrip():
