@@ -312,13 +312,13 @@ class GDMLPredict:
         F_out = np.concatenate([np.asarray(F) for _, F in results])
         return (E_out[:B], F_out[:B]) if return_E else (None, F_out[:B])
 
-    def prepare_parallel(self, n_bulk: int = 1000, use_cache: bool = True):
+    def prepare_parallel(self, n_bulk: int = 1000, **kwargs):
         """Auto-tune the batch-bucket size for bulk throughput (API parity
         with the reference's process auto-tuner, sgdml/predict.py:770).
         Returns measured geometries/sec."""
         from .tune import prepare_parallel as _tune
 
-        return _tune(self, n_bulk=n_bulk, use_cache=use_cache)
+        return _tune(self, n_bulk=n_bulk, **kwargs)
 
     def predict_train_forces(self, alphas_F, alphas_E=None):
         """CG matvec core: set coefficients, predict all training points.
