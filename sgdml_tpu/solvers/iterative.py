@@ -135,75 +135,80 @@ def _make_pcg_chunk(A_apply, lam, b_norm, rtol, chunk_iters):
 _SOLVE_CHUNK = 8192  # columns per triangular-solve / gram chunk
 
 
-@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
-def _tri_solve_cols_chunked(L, B, *, nb):
-    """Solve ``L Y = B`` for a huge ``(k, n)`` RHS in column chunks.
+@jax.jit
+def _chol_reg(M, reg):
+    """Regularized Cholesky of a (k, k) SPD block + finiteness flag."""
+    k = M.shape[0]
+    L = jnp.linalg.cholesky(M + reg * jnp.eye(k, dtype=M.dtype))
+    return L, jnp.all(jnp.isfinite(L))
 
-    Columns of the RHS are independent, so chunking bounds the transient
-    memory of TPU f64 matmul emulation (which stages ~2x-size bf16 split
-    copies of every large matmul operand) at one chunk instead of the full
-    matrix. ``B`` is donated and overwritten chunk by chunk.
-    """
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
+def _solve_chunk(L, B_chunk, *, nb):
+    """One (k, chunk) triangular solve + its gram contribution."""
     from ..ops.linalg import blocked_tri_solve
 
-    k, n = B.shape
-    chunk = min(_SOLVE_CHUNK, n)
-    n_chunks = -(-n // chunk)
-
-    def body(i, Bacc):
-        # Clamped start: the final chunk re-covers earlier columns, which
-        # is harmless (they are re-solved to the same values).
-        c0 = jnp.minimum(i * chunk, n - chunk)
-        sl = jax.lax.dynamic_slice(Bacc, (0, c0), (k, chunk))
-        ych = blocked_tri_solve(L, sl, nb=nb)
-        return jax.lax.dynamic_update_slice(Bacc, ych, (0, c0))
-
-    return jax.lax.fori_loop(0, n_chunks, body, B)
+    Y = blocked_tri_solve(L, B_chunk, nb=nb)
+    return Y, Y @ Y.T
 
 
-def _chunked_gram(Qt, chunk: int = 4096):
-    """``Qt @ Qt.T`` accumulated over column chunks — avoids the full-width
-    matmul temporaries that exhaust HBM at MD22 scale."""
-    k, n = Qt.shape
-    n_pad = -(-n // chunk) * chunk
-    Qt_p = jnp.pad(Qt, ((0, 0), (0, n_pad - n)))
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
+def _solve_chunk_nogram(L, B_chunk, *, nb):
+    from ..ops.linalg import blocked_tri_solve
 
-    def body(i, acc):
-        sl = jax.lax.dynamic_slice_in_dim(Qt_p, i * chunk, chunk, 1)
-        return acc + sl @ sl.T
-
-    acc0 = jnp.zeros((k, k), dtype=Qt.dtype)
-    return jax.lax.fori_loop(0, n_pad // chunk, body, acc0)
+    return blocked_tri_solve(L, B_chunk, nb=nb)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     """Build the Woodbury factor F (k, n) from PSD kernel columns.
 
-    C_psd: (n, k) PSD columns. cols: (k,) row indices of the inducing
-    columns. reg_w / reg_i: diagonal regularization added before the two
-    Cholesky stages (host ladder retries with larger values on failure).
+    C_psd: (n, k) PSD columns (device array). cols: (k,) host indices of
+    the inducing columns. reg_w / reg_i: diagonal regularization added
+    before the two Cholesky stages (the caller's ladder retries with
+    larger values on failure).
 
     Numerics must stay in f64: the Woodbury correction ``(v - F^T F v)/lam``
     cancels catastrophically at lam ~ 1e-10, so an f32 factor destroys CG
-    convergence (measured). Memory is bounded instead by chunking every
-    (k, n)-sized operation (triangular solves, gram) over columns.
+    convergence (measured). Memory is bounded by a *host-level* pipeline
+    over column chunks — device loops with (k, n)-sized carries make XLA
+    stage one full-width buffer per iteration, which exhausts HBM at MD22
+    scale (measured: 67 GB demand at k=5733, n=63000).
     """
-    k = C_psd.shape[1]
+    n, k = C_psd.shape
     dt = C_psd.dtype
     nb = 128 if k % 128 == 0 else _largest_divisor(k, 128)
-    W = C_psd[cols, :] + jnp.asarray(reg_w, dt) * jnp.eye(k, dtype=dt)
-    Lw = jnp.linalg.cholesky(W)
-    # Q = C L_w^{-T}: solve L_w Q^T = C^T  (lower, no transpose).
-    Qt = _tri_solve_cols_chunked(Lw, C_psd.T, nb=nb)  # (k, n)
-    inner = _chunked_gram(Qt) + jnp.asarray(lam + reg_i, dt) * jnp.eye(
-        k, dtype=dt
-    )
-    L = jnp.linalg.cholesky(inner)
-    F = _tri_solve_cols_chunked(L, Qt, nb=nb)  # (k, n)
+    chunk = min(_SOLVE_CHUNK, n)
+
+    W = C_psd[jnp.asarray(np.asarray(cols))]  # (k, k)
+    Lw, ok_w = _chol_reg(W, jnp.asarray(reg_w, dt))
+    if not bool(ok_w):
+        return None, None, False
+
+    # Pass 1: Qt chunks + gram accumulation. Chunks keep a reference to
+    # their slice only; C_psd is freed after the pass.
+    qt_chunks = []
+    gram = jnp.zeros((k, k), dtype=dt)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        sl = C_psd[c0:c1].T  # (k, <=chunk)
+        Y, G = _solve_chunk(Lw, sl, nb=nb)
+        qt_chunks.append(Y)
+        gram = gram + G
+    del C_psd
+
+    L, ok_i = _chol_reg(gram, jnp.asarray(lam + reg_i, dt))
+    if not bool(ok_i):
+        return None, None, False
+
+    # Pass 2: F chunks; Qt chunks are donated away one by one.
+    f_chunks = [
+        _solve_chunk_nogram(L, Y, nb=nb) for Y in qt_chunks
+    ]
+    del qt_chunks
+    F = jnp.concatenate(f_chunks, axis=1)  # (k, n)
+    del f_chunks
     lev_scores = jnp.sum(F * F, axis=0)
-    ok = jnp.logical_and(jnp.all(jnp.isfinite(Lw)), jnp.all(jnp.isfinite(L)))
-    return F, lev_scores, ok
+    return F, lev_scores, True
 
 
 def _largest_divisor(n: int, cap: int) -> int:
@@ -234,17 +239,24 @@ class Iterative:
         cancels catastrophically at small lam, so lower precision breaks CG
         (measured); memory is controlled by chunking instead.
         """
-        cols = jnp.asarray(np.asarray(col_idxs, dtype=np.int64))
+        col_idxs = np.asarray(col_idxs, dtype=np.int64)
 
         for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
-            # The column matrix is donated into the factor computation (it
-            # is the memory high-water mark); on the rare retry with more
-            # regularization it is simply re-assembled.
-            C = -assemble_kernel_columns(
-                X, Jc, dperms, sig, n_atoms, col_idxs, use_E_cstr=use_E_cstr
-            )  # PSD columns (n, k); inducing columns are force columns
-            F, lev, ok = _nystrom_factor_from_cols(C, cols, lam, reg, reg)
-            if bool(ok):
+            # The PSD column matrix is created inside the call expression so
+            # no caller binding keeps it alive (it is the memory high-water
+            # mark); on the rare retry with more regularization it is
+            # simply re-assembled.
+            F, lev, ok = _nystrom_factor_from_cols(
+                -assemble_kernel_columns(
+                    X, Jc, dperms, sig, n_atoms, col_idxs,
+                    use_E_cstr=use_E_cstr,
+                ),
+                col_idxs,
+                lam,
+                reg,
+                reg,
+            )
+            if ok:
                 if reg > 0:
                     log.debug('Nystrom factor needed regularization %g.', reg)
                 return F, np.asarray(lev, dtype=np.float64)
