@@ -507,14 +507,23 @@ class Iterative:
 
     @staticmethod
     def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes):
+        """Inducing-point budget (reference formula: iterative.py:827-844),
+        additionally capped so the preconditioner factor's TPU f64-split
+        working set (~32 bytes per element of the (k, n) factor, measured)
+        stays within ~40% of the budget."""
         sq, lin = 5, 4
-        to_dof = (3 * n_atoms) ** 2 * 8
+        dim_i = 3 * n_atoms
+        to_dof = dim_i**2 * 8
         sq_factor = lin * n_train * to_dof
         ny_factor = sq * to_dof
         n_ind = (
             np.sqrt(sq_factor**2 + 4.0 * ny_factor * max_memory_bytes) - sq_factor
         ) / (2 * ny_factor)
-        return min(int(n_ind), n_train)
+
+        n = n_train * dim_i
+        split_budget_elems = 0.4 * max_memory_bytes / 32.0
+        n_ind_split_cap = split_budget_elems / (n * dim_i)
+        return max(1, min(int(n_ind), int(n_ind_split_cap), n_train))
 
     @staticmethod
     def est_memory_requirement(n_train, n_inducing_pts, n_atoms):
