@@ -436,13 +436,21 @@ class Iterative:
                     b_norm, inducing_pts_idxs, save_progr_callback,
                 )
 
-            # Stall: strengthen the preconditioner and restart.
-            if eff <= EFF_RESTART_THRESH and n_inducing_pts < n_train:
+            # Stall: strengthen the preconditioner and restart. Growth is
+            # clamped to 1.5x the nominal memory budget (the reference grows
+            # unboundedly, iterative.py:775-777 "ignoring memory limits",
+            # which would OOM on a fixed-HBM device).
+            grow_cap = Iterative.max_n_inducing_pts(
+                n_train, n_atoms, 1.5 * self._max_memory * 1024**3
+            )
+            if eff <= EFF_RESTART_THRESH and n_inducing_pts < grow_cap:
                 num_restarts += 1
                 steps_hist = []
                 if num_restarts >= MAX_NUM_RESTARTS:
                     break
-                n_inducing_pts = min(int(np.ceil(1.2 * n_inducing_pts)), n_train)
+                n_inducing_pts = min(
+                    int(np.ceil(1.2 * n_inducing_pts)), grow_cap
+                )
                 log.info(
                     'CG stalled; restarting with k=%d inducing points '
                     '(%d restarts left).',
