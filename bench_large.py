@@ -47,7 +47,7 @@ def bench_aspirin():
     from sgdml_tpu.datasets.synthetic import generate_md_dataset
 
     ds = generate_md_dataset(n_atoms=21, n_frames=2200, seed=10)
-    task, model, t_train = _train(ds, 1000, sig=15.0, solver='cg')
+    task, model, t_train = _train(ds, 1000, sig=15.0, solver='cg', lam=1e-8)
     mae, scale = _force_mae(ds, task, model)
     out = {
         'config': 'aspirin-sized N=21 M=1000 iterative (Nystrom-pCG)',

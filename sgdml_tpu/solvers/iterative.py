@@ -437,11 +437,12 @@ class Iterative:
                 )
 
             # Stall: strengthen the preconditioner and restart. Growth is
-            # clamped to 1.5x the nominal memory budget (the reference grows
+            # clamped to the nominal memory budget (the reference grows
             # unboundedly, iterative.py:775-777 "ignoring memory limits",
-            # which would OOM on a fixed-HBM device).
+            # which would OOM on a fixed-HBM device — measured: the CG
+            # chunk keeps TWO f64-split copies of the factor alive).
             grow_cap = Iterative.max_n_inducing_pts(
-                n_train, n_atoms, 1.5 * self._max_memory * 1024**3
+                n_train, n_atoms, self._max_memory * 1024**3
             )
             if eff <= EFF_RESTART_THRESH and n_inducing_pts < grow_cap:
                 num_restarts += 1
