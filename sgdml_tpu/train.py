@@ -337,7 +337,9 @@ class GDMLTrain:
             from .solvers.iterative import Iterative
 
             log.info('Using iterative solver (Nystrom-preconditioned CG).')
-            iterative = Iterative(self, callback=callback)
+            iterative = Iterative(
+                self, callback=callback, max_memory=self._max_memory
+            )
             with timer.phase('solve (iterative: Nystrom-pCG)'):
                 (
                     alphas,
