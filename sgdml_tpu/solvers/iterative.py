@@ -298,6 +298,7 @@ class Iterative:
         y_std,
         tol: float = 1e-4,
         save_progr_callback=None,
+        max_seconds: float | None = None,
     ):
         n_train, n_atoms = task['R_train'].shape[:2]
         dim_i = 3 * n_atoms
@@ -401,6 +402,17 @@ class Iterative:
 
             converged = resid <= tol * b_norm
             if converged or num_iters >= max_iters:
+                break
+            if (
+                max_seconds is not None
+                and timeit.default_timer() - t_start > max_seconds
+            ):
+                log.warning(
+                    'CG wall-clock budget (%.0f s) exhausted at iteration '
+                    '%d (residual %.3e vs target %.3e); returning the '
+                    'unconverged solution.',
+                    max_seconds, num_iters, resid, tol * b_norm,
+                )
                 break
             if it_done < CG_CHUNK_ITERS and not converged:
                 # while_loop exited early without convergence: numerical
