@@ -90,46 +90,60 @@ def _matvec_A(
     return -pred + lam * v
 
 
-def _make_pcg_chunk(A_apply, lam, b_norm, rtol, chunk_iters):
-    """Build the jitted fixed-size PCG chunk.
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters'),
+)
+def _pcg_chunk(
+    state, Fp, X, Jc, sig, lam, b_norm, rtol,
+    *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
+):
+    """Jitted fixed-size PCG chunk.
 
     state: (x, r, z, p, rz, it, resid_hist) — resid_hist records the
     residual norm of each step in this chunk (for host-side effectiveness
     monitoring). The while_loop exits early on convergence.
+
+    All data (descriptor tables, factor, scalars) enters as *arguments*,
+    never as closure constants: constants would be baked into the program,
+    making every new training split a fresh (multi-minute, remote) XLA
+    compile of this — the heaviest — program.
     """
 
-    @jax.jit
-    def pcg_chunk(state, Fp):
-        def M_apply(v):
-            # Mixed precision: the Woodbury factor lives in f32 (memory +
-            # MXU speed); the correction is cast back to the CG dtype.
-            corr = (Fp.T @ (Fp @ v.astype(Fp.dtype))).astype(v.dtype)
-            return (v - corr) / lam
+    def M_apply(v):
+        corr = (Fp.T @ (Fp @ v.astype(Fp.dtype))).astype(v.dtype)
+        return (v - corr) / lam
 
-        def cond(carry):
-            _, r, _, _, _, it, _ = carry
-            return jnp.logical_and(
-                it < chunk_iters, jnp.linalg.norm(r) > rtol * b_norm
-            )
+    def A_apply(v):
+        return _matvec_A(
+            v, X, Jc, sig, lam,
+            n_atoms=n_atoms,
+            desc_perms_key=desc_perms_key,
+            use_E_cstr=use_E_cstr,
+        )
 
-        def body(carry):
-            x, r, z, p, rz, it, hist = carry
-            Ap = A_apply(p)
-            alpha = rz / (p @ Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M_apply(r)
-            rz_new = r @ z
-            beta = rz_new / rz
-            p = z + beta * p
-            hist = hist.at[it].set(jnp.linalg.norm(r))
-            return (x, r, z, p, rz_new, it + 1, hist)
+    def cond(carry):
+        _, r, _, _, _, it, _ = carry
+        return jnp.logical_and(
+            it < chunk_iters, jnp.linalg.norm(r) > rtol * b_norm
+        )
 
-        x, r, z, p, rz, _, hist = state
-        hist = jnp.zeros_like(hist)
-        return jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0, hist))
+    def body(carry):
+        x, r, z, p, rz, it, hist = carry
+        Ap = A_apply(p)
+        alpha = rz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_apply(r)
+        rz_new = r @ z
+        beta = rz_new / rz
+        p = z + beta * p
+        hist = hist.at[it].set(jnp.linalg.norm(r))
+        return (x, r, z, p, rz_new, it + 1, hist)
 
-    return pcg_chunk
+    x, r, z, p, rz, _, hist = state
+    hist = jnp.zeros_like(hist)
+    return jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0, hist))
 
 
 _SOLVE_CHUNK = 8192  # columns per triangular-solve / gram chunk
@@ -367,7 +381,15 @@ class Iterative:
 
         b = jnp.asarray(y)
         b_norm = float(np.linalg.norm(y))
-        pcg_chunk = _make_pcg_chunk(A_apply, lam, b_norm, tol, CG_CHUNK_ITERS)
+
+        def pcg_chunk(state, Fp_cur):
+            return _pcg_chunk(
+                state, Fp_cur, X, Jc, sig, lam, b_norm, tol,
+                n_atoms=n_atoms,
+                desc_perms_key=perms_key,
+                use_E_cstr=use_E_cstr,
+                chunk_iters=CG_CHUNK_ITERS,
+            )
 
         def init_state(x_init, Fp_cur):
             x = jnp.asarray(
