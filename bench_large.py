@@ -13,10 +13,13 @@ Not part of the driver's one-line bench; run manually:
 """
 
 import json
+import logging
 import sys
 import timeit
 
 import numpy as np
+
+logging.basicConfig(level=logging.INFO, format='[%(levelname)s] %(message)s')
 
 
 def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False):
