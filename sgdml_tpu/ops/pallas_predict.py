@@ -141,18 +141,22 @@ def pallas_predict_tables(
     tile_t = min(tile_t, _round_up(T, 8))
     Tp = _round_up(T, tile_t)
 
-    Xq_p = jnp.pad(Xq, ((0, Bp - B), (0, Dp - D)))
-    Xt_p = jnp.pad(Xt, ((0, Tp - T), (0, Dp - D)))
-    JA_p = jnp.pad(JA, ((0, Tp - T), (0, Dp - D)))
-    valid = (jnp.arange(Tp) < T).astype(jnp.float32)[None, :]
+    # The kernel is pure f32/i32; global x64 mode would leak i64 index
+    # types into the Mosaic lowering (fails to legalize `func.return`).
+    x64_off = jax.enable_x64(False)
+    x64_off.__enter__()
+    try:
+        Xq_p = jnp.pad(Xq, ((0, Bp - B), (0, Dp - D)))
+        Xt_p = jnp.pad(Xt, ((0, Tp - T), (0, Dp - D)))
+        JA_p = jnp.pad(JA, ((0, Tp - T), (0, Dp - D)))
+        valid = (jnp.arange(Tp) < T).astype(jnp.float32)[None, :]
 
-    sig_arr = jnp.array([[sig]], dtype=jnp.float32)
+        sig_arr = jnp.array([[sig]], dtype=jnp.float32)
 
-    if interpret:
-        # Interpreter mode for CPU correctness tests.
-        def call(Xq_p, Xt_p, JA_p, valid, sig_arr):
+        if interpret:
+            # Interpreter mode for CPU correctness tests.
             grid = (Bp // tile_b, Tp // tile_t)
-            return pl.pallas_call(
+            e_out, f_out = pl.pallas_call(
                 _kernel,
                 grid=grid,
                 in_specs=[
@@ -172,11 +176,11 @@ def pallas_predict_tables(
                 ],
                 interpret=True,
             )(Xq_p, Xt_p, JA_p, valid, sig_arr)
-
-        e_out, f_out = call(Xq_p, Xt_p, JA_p, valid, sig_arr)
-        e_out = e_out[:, 0]
-    else:
-        e_out, f_out = _pallas_call(
-            Xq_p, Xt_p, JA_p, valid, sig_arr, tile_b=tile_b, tile_t=tile_t
-        )
-    return e_out[:B], f_out[:B, :D]
+            e_out = e_out[:, 0]
+        else:
+            e_out, f_out = _pallas_call(
+                Xq_p, Xt_p, JA_p, valid, sig_arr, tile_b=tile_b, tile_t=tile_t
+            )
+        return e_out[:B], f_out[:B, :D]
+    finally:
+        x64_off.__exit__(None, None, None)
