@@ -43,7 +43,7 @@ def main():
         E64, F64 = predict_from_tables(
             Xq, Jcq, Xt, JA, None, sig, 1.0, 0.0, n_atoms=n_atoms
         )
-    E64.block_until_ready()
+        np.asarray(E64)  # force real completion (block_until_ready lies on tunnels)
     t64 = (timeit.default_timer() - t0) / 5
     print('xla f64 steady: %.4fs  (%.0f geoms/s)' % (t64, B / t64), flush=True)
 
@@ -59,7 +59,7 @@ def main():
         E32, F32 = predict_from_tables(
             Xq32, Jcq32, Xt32, JA32, None, sig, 1.0, 0.0, n_atoms=n_atoms
         )
-    E32.block_until_ready()
+        np.asarray(E32)
     t32 = (timeit.default_timer() - t0) / 5
     print('xla f32 steady: %.4fs  (%.0f geoms/s)' % (t32, B / t32), flush=True)
 
@@ -72,7 +72,7 @@ def main():
     t0 = timeit.default_timer()
     for _ in range(5):
         Ep, Fd = pallas_predict_tables(Xq32, Xt32, JA32, sig)
-    Ep.block_until_ready()
+        np.asarray(Ep)
     tp = (timeit.default_timer() - t0) / 5
     print('pallas f32 steady: %.4fs  (%.0f geoms/s)' % (tp, B / tp),
           flush=True)
