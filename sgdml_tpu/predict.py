@@ -118,22 +118,36 @@ def predict_from_tables(
     return E * std + c, F
 
 
-@functools.partial(jax.jit, static_argnames=('n_atoms', 'with_forces'))
+@functools.partial(
+    jax.jit, static_argnames=('n_atoms', 'with_forces', 'out_dtype')
+)
 def _predict_geoms(
-    R, Xt, JA, alphas_E_lin, lat, lat_inv, sig, std, c, *, n_atoms, with_forces=True
+    R, Xt, JA, alphas_E_lin, lat, lat_inv, sig, std, c,
+    *, n_atoms, with_forces=True, out_dtype=None,
 ):
     """Fused descriptor + prediction for one fixed-size geometry bucket.
 
     One compiled program serves any input size (the host loops over
     fixed-size buckets), which matters on TPU where each new program shape
     costs a fresh XLA compile.
+
+    ``R`` may arrive in a narrower *transfer* dtype (f32) than the compute
+    dtype (taken from the tables); ``out_dtype`` narrows the results before
+    the device-to-host transfer — bulk serving over a host link is
+    transfer-bandwidth-bound, and coordinate/force f32 rounding (~1e-7
+    relative) is far below model error.
     """
     lat_and_inv = None if lat is None else (lat, lat_inv)
+    R = R.astype(Xt.dtype)
     Xq, Jcq = desc_ops.descriptor_batch(R, n_atoms, lat_and_inv)
-    return predict_from_tables(
+    E, F = predict_from_tables(
         Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c,
         n_atoms=n_atoms, with_forces=with_forces,
     )
+    if out_dtype is not None:
+        E = E.astype(out_dtype)
+        F = F if F is None else F.astype(out_dtype)
+    return E, F
 
 
 def _desc_perm_table(perms: np.ndarray) -> np.ndarray:
@@ -157,13 +171,16 @@ class GDMLPredict:
         disappears under XLA with static shapes.
     """
 
-    def __init__(self, model, dtype=jnp.float64, batch_size: int = 64):
+    def __init__(self, model, dtype=jnp.float64, batch_size: int = 64,
+                 transfer_dtype=None):
         if not _is_model(model):
             raise ValueError('The provided data structure is not a valid model.')
 
         self.n_atoms = int(model['z'].shape[0])
         self.dim_i = 3 * self.n_atoms
         self.dtype = dtype
+        # Narrower host<->device transfer dtype (compute stays in `dtype`).
+        self.transfer_dtype = transfer_dtype
         self.batch_size = int(batch_size)
 
         self.lat_and_inv = None
@@ -299,13 +316,16 @@ class GDMLPredict:
         # Dispatch every bucket asynchronously before synchronizing any —
         # XLA overlaps the host->device transfers with compute, which
         # matters when device dispatch has high latency.
+        tdt = self.transfer_dtype
+        out_dtype = None if tdt is None else np.dtype(tdt).name
         results = []
         for b0 in range(0, Bp, bs):
-            Rb = jnp.asarray(R[b0 : b0 + bs], dtype=self.dtype)
+            Rb = jnp.asarray(R[b0 : b0 + bs], dtype=tdt or self.dtype)
             results.append(
                 _predict_geoms(
                     Rb, self.Xt, self.JA, self.alphas_E_lin, lat, lat_inv,
                     self.sig, self.std, self.c, n_atoms=self.n_atoms,
+                    out_dtype=out_dtype,
                 )
             )
         E_out = np.concatenate([np.asarray(E) for E, _ in results])

@@ -193,3 +193,17 @@ def test_our_model_file_readable_by_reference():
             sys.path.remove(ref_path)
     np.testing.assert_allclose(e, data['e_pred'], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(f, data['f_pred'], rtol=1e-5, atol=1e-6)
+
+
+def test_f32_transfer_dtype_accuracy():
+    """f32 host<->device transfers with f64 compute: results within f32
+    rounding of the all-f64 path."""
+    data, model = _load_model_fixture()
+    p64 = GDMLPredict(model)
+    p32t = GDMLPredict(model, transfer_dtype=jnp.float32)
+    E1, F1 = p64.predict(data['R_test'])
+    E2, F2 = p32t.predict(data['R_test'])
+    assert F2.dtype == np.float32
+    f_scale = np.abs(F1).max()
+    assert np.abs(F2 - F1).max() / f_scale < 1e-5
+    assert np.abs(E2 - E1).max() / max(np.abs(E1).max(), 1.0) < 1e-5
