@@ -55,16 +55,20 @@ def main():
     R_test = ds['R'][ti].reshape(len(ti), -1)
     f_ref = ds['F'][ti].reshape(len(ti), -1)
 
-    def measure(dtype):
+    def measure(dtype, transfer_dtype=None):
         # Accuracy at a 1k bucket; throughput at a single 10k launch (the
-        # contraction is launch-latency-bound at this molecule size — one
-        # big XLA program is the fast path).
-        pred = GDMLPredict(model, dtype=dtype, batch_size=1000)
+        # contraction is launch/transfer-bound at this molecule size — one
+        # big XLA program with narrow transfers is the fast path).
+        pred = GDMLPredict(
+            model, dtype=dtype, batch_size=1000, transfer_dtype=transfer_dtype
+        )
         E, F = pred.predict(R_test)
         f_mae = float(np.abs(F - f_ref).mean())
         e_mae = float(np.abs(E - ds['E'][ti]).mean())
 
-        pred = GDMLPredict(model, dtype=dtype, batch_size=n_bulk)
+        pred = GDMLPredict(
+            model, dtype=dtype, batch_size=n_bulk, transfer_dtype=transfer_dtype
+        )
         R_bulk = ds['R'][:n_bulk].reshape(n_bulk, -1)
         pred.predict(R_bulk)  # warm-up compile
         dt = float('inf')
@@ -75,13 +79,21 @@ def main():
         return n_bulk / dt, f_mae, e_mae
 
     gps64, f_mae64, e_mae64 = measure(jnp.float64)
+    gps64t32, f_mae64t32, e_mae64t32 = measure(
+        jnp.float64, transfer_dtype=jnp.float32
+    )
     gps32, f_mae32, e_mae32 = measure(jnp.float32)
 
-    # Headline: fastest dtype whose force MAE stays within 0.02 of f64's.
-    if f_mae32 <= f_mae64 + 0.02 and gps32 > gps64:
-        gps, f_mae, e_mae, dtype = gps32, f_mae32, e_mae32, 'float32'
-    else:
-        gps, f_mae, e_mae, dtype = gps64, f_mae64, e_mae64, 'float64'
+    # Headline: fastest config whose force MAE stays within 1e-3 of the
+    # all-f64 path (f64 compute with f32 transfers qualifies; pure f32
+    # compute usually does not — GDML coefficients cancel heavily).
+    candidates = [
+        (gps64, f_mae64, e_mae64, 'float64'),
+        (gps64t32, f_mae64t32, e_mae64t32, 'float64 compute, float32 transfer'),
+        (gps32, f_mae32, e_mae32, 'float32'),
+    ]
+    eligible = [c for c in candidates if c[1] <= f_mae64 + 1e-3]
+    gps, f_mae, e_mae, dtype = max(eligible, key=lambda c: c[0])
 
     base_gps = baseline.get('reference_pred_geoms_per_sec', None)
     result = {
@@ -102,6 +114,7 @@ def main():
             'force_mae_reference': baseline.get('reference_force_mae'),
             'energy_mae': round(e_mae, 5),
             'gps_float64': round(gps64, 1),
+            'gps_f64_compute_f32_transfer': round(gps64t32, 1),
             'gps_float32': round(gps32, 1),
         },
     }
