@@ -33,6 +33,19 @@ from .utils import io
 log = logging.getLogger('sgdml_tpu.cli')
 
 
+def _make_mesh(n_devices):
+    """Build a 1-D device mesh for SPMD training/serving.
+
+    ``n_devices``: None/0 -> single-device (no mesh); -1 -> all available
+    devices; N -> first N devices.
+    """
+    if not n_devices:
+        return None
+    from .parallel.mesh import default_mesh
+
+    return default_mesh(None if n_devices < 0 else n_devices)
+
+
 # ---------------------------------------------------------------------------
 # Error metrics (reference definitions: sgdml/cli.py:1556-1605,1170-1180)
 # ---------------------------------------------------------------------------
@@ -145,7 +158,9 @@ def train(args):
         print('No task files found in %s.' % path)
         sys.exit(1)
 
-    trainer = GDMLTrain(max_memory=args.max_memory)
+    trainer = GDMLTrain(
+        max_memory=args.max_memory, mesh=_make_mesh(getattr(args, 'devices', None))
+    )
     valid_dataset = (
         io.load_dict(args.valid_dataset) if args.valid_dataset else None
     )
@@ -189,12 +204,13 @@ def train(args):
     return model_paths
 
 
-def _validate_model(model, dataset, n_test=None, batch=250):
+def _validate_model(model, dataset, n_test=None, batch=250, mesh=None):
     """Shared validate/test core (reference: one function for both,
     sgdml/cli.py:1327-1794; n_test=None => validation split)."""
     md5 = io.dataset_md5(dataset)
-    key = 'md5_valid' if n_test is None else 'md5_train'
-    if n_test is None and model.get('md5_valid') not in (md5, None):
+    if n_test is None and model.get('md5_valid') != md5:
+        # Validation must run on the exact dataset the split came from
+        # (reference: sgdml/cli.py:1431-1434).
         raise ValueError(
             'Dataset fingerprint does not match the validation dataset this '
             'model was created with.'
@@ -204,9 +220,14 @@ def _validate_model(model, dataset, n_test=None, batch=250):
     if n_test is None:
         idxs = np.asarray(model['idxs_valid'])
     else:
-        excl = np.concatenate(
-            [np.asarray(model['idxs_train']), np.asarray(model['idxs_valid'])]
-        )
+        # Testing may use a different dataset; train/validation indices are
+        # excluded only when the fingerprint shows they refer to *this*
+        # dataset (reference: sgdml/cli.py:1439-1448).
+        excl = np.empty((0,), dtype=np.int64)
+        if model.get('md5_train') == md5:
+            excl = np.concatenate([excl, np.asarray(model['idxs_train'])])
+        if model.get('md5_valid') == md5:
+            excl = np.concatenate([excl, np.asarray(model['idxs_valid'])])
         cands = np.setdiff1d(np.arange(dataset['R'].shape[0]), excl)
         if n_test > 0:
             np.random.seed(0)
@@ -214,7 +235,7 @@ def _validate_model(model, dataset, n_test=None, batch=250):
         else:
             idxs = cands
 
-    pred = GDMLPredict(model)
+    pred = GDMLPredict(model, mesh=mesh)
     use_E = bool(model.get('use_E', True)) and 'E' in dataset
 
     E_pred_all, F_pred_all = [], []
@@ -267,7 +288,10 @@ def test(args, n_test='arg'):
         if ('lattice' in model) != ('lattice' in dataset):
             raise ValueError('Lattice presence differs between model/dataset.')
 
-        res = _validate_model(model, dataset, n_test=n_test)
+        res = _validate_model(
+            model, dataset, n_test=n_test,
+            mesh=_make_mesh(getattr(args, 'devices', None)),
+        )
         kind = 'validation' if n_test is None else 'test'
         print(
             '%s  [%s n=%d]  force MAE %.5f RMSE %.5f%s'
@@ -285,11 +309,22 @@ def test(args, n_test='arg'):
                 ),
             )
         )
-        # Record errors in the model file (reference: cli.py:1756-1772).
-        model['f_err'] = res['f_err'] if n_test is not None else model.get('f_err')
+        # Record errors in the model file (reference: cli.py:1750-1772):
+        # test errors always; validation errors only into a model that has
+        # never been validated/tested (so they never clobber test errors).
+        f_err_cur = model.get('f_err', {'mae': np.nan})
+        if isinstance(f_err_cur, np.ndarray):
+            f_err_cur = f_err_cur.item()
+        never_validated = not np.isfinite(f_err_cur.get('mae', np.nan))
         if n_test is not None:
             model['n_test'] = res['n']
             model['md5_test'] = io.dataset_md5(dataset)
+            model['f_err'] = res['f_err']
+            if 'e_err' in res:
+                model['e_err'] = res['e_err']
+            io.save_dict(path, model)
+        elif never_validated:
+            model['f_err'] = res['f_err']
             if 'e_err' in res:
                 model['e_err'] = res['e_err']
             io.save_dict(path, model)
@@ -354,6 +389,7 @@ def all_cmd(args):
         overwrite=False,
         max_memory=args.max_memory,
         solver=args.solver,
+        devices=getattr(args, 'devices', None),
     )
     train(targs)
 
@@ -363,7 +399,10 @@ def all_cmd(args):
     best = select(sargs)
 
     if args.n_test is None or args.n_test != 0:
-        xargs = argparse.Namespace(model=best, dataset=args.dataset)
+        xargs = argparse.Namespace(
+            model=best, dataset=args.dataset,
+            devices=getattr(args, 'devices', None),
+        )
         test(xargs, n_test=args.n_test or 0)
     print('Model saved to %s' % best)
 
@@ -385,7 +424,9 @@ def resume(args):
         print('Analytically solved models cannot be resumed (already exact).')
         sys.exit(1)
 
-    trainer = GDMLTrain(max_memory=args.max_memory)
+    trainer = GDMLTrain(
+        max_memory=args.max_memory, mesh=_make_mesh(getattr(args, 'devices', None))
+    )
     task = trainer.create_task_from_model(model, dataset)
     new_model = trainer.train(task, solver='cg')
     out = args.out or args.model
@@ -467,13 +508,17 @@ def _add_common_train_args(p):
         '--solver', choices=['analytic', 'cg'], default=None,
         help='force solver choice (default: by memory estimate)',
     )
+    p.add_argument(
+        '--devices', type=int, default=None,
+        help='SPMD over a device mesh: N = first N devices, -1 = all '
+        '(default: single device)',
+    )
 
 
 def main(argv=None):
     from .utils.ui import init_logging
 
     init_logging()
-    logging.basicConfig(level=logging.INFO, format='[%(levelname)s] %(message)s')
     parser = argparse.ArgumentParser(
         prog='sgdml-tpu',
         description='TPU-native sGDML force-field reconstruction (v%s)'
@@ -495,15 +540,18 @@ def main(argv=None):
     p.add_argument('-o', '--overwrite', action='store_true')
     p.add_argument('--max_memory', type=float, default=None)
     p.add_argument('--solver', choices=['analytic', 'cg'], default=None)
+    p.add_argument('--devices', type=int, default=None)
 
     p = sub.add_parser('validate', help='validate model(s)')
     p.add_argument('model', help='model file or directory')
     p.add_argument('dataset')
+    p.add_argument('--devices', type=int, default=None)
 
     p = sub.add_parser('test', help='test a model')
     p.add_argument('model')
     p.add_argument('dataset')
     p.add_argument('n_test', type=int, nargs='?', default=0)
+    p.add_argument('--devices', type=int, default=None)
 
     p = sub.add_parser('select', help='select best model from directory')
     p.add_argument('model_dir')
@@ -515,6 +563,7 @@ def main(argv=None):
     p.add_argument('dataset')
     p.add_argument('--out', default=None)
     p.add_argument('--max_memory', type=float, default=None)
+    p.add_argument('--devices', type=int, default=None)
 
     p = sub.add_parser('show', help='inspect an npz artifact')
     p.add_argument('file')

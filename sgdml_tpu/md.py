@@ -30,12 +30,19 @@ class MDEngine:
     Parameters
     ----------
     model: model dict (reference-compatible npz layout).
-    masses: ``(N,)`` atomic masses (defaults to unit masses; pass real
-        masses in consistent units for physical trajectories).
+    masses: ``(N,)`` atomic masses in u. Defaults to the standard atomic
+        weights of the model's elements (``model['z']``) — the same
+        convention as the reference's ASE-driven MD
+        (sgdml/intf/ase_calc.py:93-106), so trajectories are physical out
+        of the box. Pass explicit masses for isotopes or custom units.
     dtype: computation dtype (f64 default).
     """
 
     def __init__(self, model, masses=None, dtype=jnp.float64):
+        if masses is None:
+            from .utils.io import ATOMIC_MASSES
+
+            masses = ATOMIC_MASSES[np.asarray(model['z'], dtype=np.int64)]
         self.n_atoms = int(model['z'].shape[0])
         self.sig = float(np.squeeze(model['sig']))
         self.std = float(np.squeeze(model.get('std', 1.0)))
@@ -44,9 +51,7 @@ class MDEngine:
         R_desc = jnp.asarray(np.asarray(model['R_desc']).T, dtype=dtype)
         R_d_desc_alpha = jnp.asarray(model['R_d_desc_alpha'], dtype=dtype)
         self.Xt, self.JA = build_tables(R_desc, R_d_desc_alpha, dperms)
-        self.masses = jnp.asarray(
-            masses if masses is not None else np.ones(self.n_atoms), dtype=dtype
-        )
+        self.masses = jnp.asarray(masses, dtype=dtype)
         self.dtype = dtype
 
     def energy_forces(self, r):

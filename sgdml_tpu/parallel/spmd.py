@@ -1,21 +1,33 @@
-"""SPMD kernel assembly, prediction and training over a device mesh.
+"""SPMD kernel assembly, prediction and solves over a device mesh.
+
+This is the production multi-chip path: ``GDMLTrain(mesh=...)`` routes
+kernel assembly and the linear solve through here, and
+``GDMLPredict(mesh=...)`` serves batches data-parallel. It replaces the
+reference's multiprocessing pools and ``torch.nn.DataParallel``
+scatter/gather (sgdml/train.py:1464-1466, sgdml/predict.py:376-378) with
+compiler-scheduled ICI collectives.
 
 Shardings (1-D mesh, axis ``dev``):
 
-* **Assembly**: kernel *rows* are sharded — each device owns a strip
-  ``K[rows_local, :]`` and computes it with the same tile math as the
-  single-chip path (``shard_map``; no communication during assembly, the
-  column tables are replicated).
-* **Prediction / CG matvec**: the query batch is sharded (data parallel);
-  permuted tables are replicated. Reductions for CG dot products become
-  ``psum`` over ICI, inserted by XLA from the sharding annotations.
-* **Distributed solve**: dense CG on the row-sharded kernel strip: the
-  matvec ``K @ v`` is a local strip matmul producing the device's rows of
-  the result — communication is one all-gather per iteration.
-
-This replaces the reference's multiprocessing pools and
-``torch.nn.DataParallel`` scatter/gather (sgdml/train.py:1464-1466,
-sgdml/predict.py:376-378) with compiler-scheduled ICI collectives.
+* **Assembly** (``assemble_kernel_sharded``): kernel *rows* are sharded.
+  Each device owns the rows of its strip of training points — its force
+  rows and, with energy constraints, its energy rows — and computes them
+  against all (replicated, permuted) column tables with the same tile math
+  as the single-chip path. Zero communication during assembly.
+* **Row layout**: device-major *interleaved*. Device ``g`` owns global
+  rows ``[g*rloc, (g+1)*rloc)`` = ``[3N force rows per local point |
+  local energy rows]``. This keeps every row family shard-local (no
+  cross-device row shuffle for the E-constraint borders); the symmetric
+  permutation of a PSD system is PSD, so the blocked Cholesky runs
+  directly on the interleaved matrix. :class:`ShardedLayout` translates
+  vectors between the standard order (forces point-major, then energies —
+  the reference's layout, sgdml/train.py:937-947) and the interleaved one.
+* **Solve**: blocked right-looking Cholesky (ops/linalg.py) on the
+  row-sharded matrix — one panel all-gather per block step over ICI.
+* **Prediction / CG matvec**: pure data parallelism on the query batch;
+  tables replicated. Expressed through input shardings (``jax.device_put``
+  + ``NamedSharding``) on the single-chip programs — GSPMD partitions the
+  batched matmuls and inserts ``psum`` for the reductions.
 """
 
 from __future__ import annotations
@@ -26,249 +38,323 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import descriptor as desc_ops
 from ..ops.kernel import (
+    Mat52Coeffs,
+    _grad_row_tile,
+    _value_tile,
     expand_perm_jacobian,
     hessian_tile,
     incidence,
     perm_incidence,
     perm_tables,
 )
-from ..predict import predict_from_tables
 
 __all__ = [
+    'ShardedLayout',
     'assemble_kernel_sharded',
+    'solve_interleaved',
     'predict_sharded',
-    'train_step_sharded',
+    'shard_batch',
+    'replicate',
 ]
+
+_SQRT5 = np.sqrt(5.0)
+
+
+def shard_batch(x, mesh: Mesh):
+    """Put ``x`` on the mesh sharded along its leading (batch) axis."""
+    return jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+
+def replicate(x, mesh: Mesh):
+    """Put ``x`` on the mesh fully replicated."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+class ShardedLayout:
+    """Host-side bookkeeping for the device-major interleaved row layout.
+
+    Standard order (reference layout): ``[m*3N force dofs (point-major) |
+    m energy rows]``, ``n = m*3N (+ m)`` total. Interleaved order: points
+    padded to ``m_pad = n_dev * mloc``; device ``g`` owns rows
+    ``[g*rloc, (g+1)*rloc) = [mloc*3N force rows | mloc energy rows]``.
+    """
+
+    def __init__(self, m: int, n_atoms: int, n_dev: int, use_E_cstr: bool):
+        self.m = m
+        self.n_atoms = n_atoms
+        self.n_dev = n_dev
+        self.use_E_cstr = bool(use_E_cstr)
+        dim_i = 3 * n_atoms
+        self.dim_i = dim_i
+        self.mloc = -(-m // n_dev)
+        self.m_pad = self.mloc * n_dev
+        self.rloc = self.mloc * dim_i + (self.mloc if use_E_cstr else 0)
+        self.n_rows = self.rloc * n_dev
+        self.n = m * dim_i + (m if use_E_cstr else 0)
+
+        # to_std[i_int] = index into the standard-order valid vector, or -1.
+        rows = np.arange(self.n_rows)
+        g = rows // self.rloc
+        r = rows % self.rloc
+        is_force = r < self.mloc * dim_i
+        j = np.where(
+            is_force, g * self.mloc + r // dim_i,
+            g * self.mloc + (r - self.mloc * dim_i),
+        )
+        std = np.where(is_force, j * dim_i + r % dim_i, m * dim_i + j)
+        self.to_std = np.where(j < m, std, -1)
+        self.mask = self.to_std >= 0
+        # from_std[std_idx] = interleaved index (valid rows only).
+        self.from_std = np.empty(self.n, dtype=np.int64)
+        self.from_std[self.to_std[self.mask]] = rows[self.mask]
+
+    def scatter_vec(self, y_std):
+        """Standard-order vector (n,) -> interleaved (n_rows,), zero-padded."""
+        out = np.zeros(self.n_rows, dtype=np.asarray(y_std).dtype)
+        out[self.from_std] = np.asarray(y_std)
+        return out
+
+    def gather_vec(self, x_int):
+        """Interleaved vector (n_rows,) -> standard order (n,)."""
+        return np.asarray(x_int)[self.from_std]
 
 
 def _pad_rows(a, rows):
     return jnp.pad(a, ((0, rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
 
 
-def assemble_kernel_sharded(
-    R_desc, R_d_desc, desc_perms, sig, n_atoms, mesh: Mesh, tile_j: int = 8
-):
-    """Row-sharded kernel assembly: returns ``K (M*3N, M*3N)`` with rows
-    distributed over the mesh (padded rows trimmed on the host view).
-
-    Each device assembles its row strip against all (replicated, permuted)
-    column tables with the single-chip tile kernel — embarrassingly
-    parallel, zero communication.
-    """
-    axis = mesh.axis_names[0]
-    n_dev = mesh.shape[axis]
-    X = jnp.asarray(R_desc)
-    Jc = jnp.asarray(R_d_desc)
-    m, dim_d = X.shape
-    dim_i = 3 * n_atoms
-    dperms = np.asarray(desc_perms)
-    n_perms = dperms.shape[0]
-
-    m_pad = -(-m // n_dev) * n_dev
-    Xr = _pad_rows(X, m_pad)
-    Jcr = _pad_rows(Jc, m_pad)
-
-    Xp, Jcp = perm_tables(X, Jc, dperms)  # (M, P, D): replicated columns
-    s_perm = jnp.asarray(perm_incidence(dperms, n_atoms), dtype=X.dtype)
-    s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
-
-    n_tj = -(-m // tile_j)
-    m_pad_j = n_tj * tile_j
-    Xpc = jnp.pad(Xp, ((0, m_pad_j - m), (0, 0), (0, 0)))
-    Jcpc = jnp.pad(Jcp, ((0, m_pad_j - m), (0, 0), (0, 0), (0, 0)))
-
-    def strip(X_loc, Jc_loc, Xp_all, Jcp_all):
-        m_loc = X_loc.shape[0]
-        Ji = jnp.einsum('dn,idc->idnc', s_id, Jc_loc).reshape(
-            m_loc, dim_d, dim_i
-        )
-
-        def col_tile(carry, tj):
-            j0 = tj * tile_j
-            Xjp = jax.lax.dynamic_slice_in_dim(Xp_all, j0, tile_j, 0)
-            Jcjp = jax.lax.dynamic_slice_in_dim(Jcp_all, j0, tile_j, 0)
-            Jt = expand_perm_jacobian(Jcjp, s_perm).reshape(
-                tile_j * n_perms, dim_d, dim_i
-            )
-            Xt = Xjp.reshape(tile_j * n_perms, dim_d)
-            blk = hessian_tile(X_loc, Ji, Xt, Jt, sig)
-            blk = blk.reshape(m_loc, dim_i, tile_j, n_perms, dim_i).sum(axis=3)
-            return carry, blk.reshape(m_loc * dim_i, tile_j * dim_i)
-
-        _, blocks = jax.lax.scan(col_tile, None, jnp.arange(n_tj))
-        # blocks: (n_tj, m_loc*3N, tile_j*3N) -> (m_loc*3N, m_pad_j*3N)
-        return blocks.transpose(1, 0, 2).reshape(m_loc * dim_i, m_pad_j * dim_i)
-
-    strip_fn = shard_map(
-        strip,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
-    )
-    K = strip_fn(Xr, Jcr, Xpc, Jcpc)
-    return K[: m * dim_i, : m * dim_i]
-
-
-def predict_sharded(
-    Xq, Jcq, Xt, JA, sig, std, c, n_atoms: int, mesh: Mesh
-):
-    """Batch-sharded prediction: queries split over devices, tables
-    replicated. Returns replicated (E, F)."""
-    axis = mesh.axis_names[0]
-    n_dev = mesh.shape[axis]
-    B = Xq.shape[0]
-    Bp = -(-B // n_dev) * n_dev
-    Xq = _pad_rows(jnp.asarray(Xq), Bp)
-    Jcq = _pad_rows(jnp.asarray(Jcq), Bp)
-
-    def local(xq, jcq, xt, ja):
-        return predict_from_tables(
-            xq, jcq, xt, ja, None, sig, std, c, n_atoms=n_atoms
-        )
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis)),
-    )
-    E, F = fn(Xq, Jcq, jnp.asarray(Xt), jnp.asarray(JA))
-    return E[:B], F[:B]
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=('n_atoms', 'desc_perms_key', 'mesh', 'cg_iters', 'solver'),
+    static_argnames=(
+        'n_atoms', 'desc_perms_key', 'use_E_cstr', 'mesh', 'tile_c',
+    ),
 )
-def _train_step_jit(R, F_labels, sig, lam, *, n_atoms, desc_perms_key, mesh,
-                    cg_iters, solver='cg'):
-    """One full, jittable, multi-chip training step (for compile-checking
-    the sharded pipeline and for small-M production training):
+def _assemble_sharded_jit(
+    X, Jc, sig, *, n_atoms, desc_perms_key, use_E_cstr, mesh, tile_c
+):
+    """Row-sharded interleaved kernel assembly (see module docstring).
 
-    descriptors -> row-sharded assembly -> dense CG on the sharded strip ->
-    alphas + contracted model tables.
+    Inputs are the zero-padded ``(m_pad, D)`` descriptor arrays; the output
+    is the ``(n_rows, n_rows)`` interleaved kernel matrix, rows sharded
+    over the mesh. Same tile math as the single-chip ``_assemble_jit``
+    (ops/kernel.py), organized as: per device, a ``lax.scan`` over column
+    sub-tiles of ``tile_c`` points writes force/energy blocks into the
+    local ``(rloc, n_rows)`` strip.
     """
     desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
         desc_perms_key[1]
     )
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
-    m = R.shape[0]
+    m_pad, dim_d = X.shape
     dim_i = 3 * n_atoms
-    n = m * dim_i
+    mloc = m_pad // n_dev
+    rloc = mloc * dim_i + (mloc if use_E_cstr else 0)
+    n_rows = rloc * n_dev
+    n_perms = desc_perms.shape[0]
 
-    X, Jc = desc_ops.descriptor_batch(R.reshape(m, -1), n_atoms)
-
-    y = F_labels.reshape(-1)
-    y_std = jnp.std(y)
-    y = y / y_std
-
-    # Row-sharded assembly (inline, mesh-closed version of
-    # assemble_kernel_sharded so the whole step stays in one jit).
-    dperms = desc_perms
-    n_perms = dperms.shape[0]
-    m_pad = -(-m // n_dev) * n_dev
-    Xr = _pad_rows(X, m_pad)
-    Jcr = _pad_rows(Jc, m_pad)
-    Xp, Jcp = perm_tables(X, Jc, dperms)
-    s_perm = jnp.asarray(perm_incidence(dperms, n_atoms), dtype=X.dtype)
+    s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
     s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
+    Xp, Jcp = perm_tables(X, Jc, desc_perms)  # (m_pad, P, D), (.., D, 3)
 
-    def strip(X_loc, Jc_loc, Xp_all, Jcp_all):
-        m_loc = X_loc.shape[0]
+    n_tc = mloc // tile_c  # column sub-tiles per device group
+
+    def strip(X_loc, Jc_loc, Xp_loc, Jcp_loc, Xp_all, Jcp_all, X_all):
+        # Row-side tables (local): plain queries + full Jacobians.
         Ji = jnp.einsum('dn,idc->idnc', s_id, Jc_loc).reshape(
-            m_loc, X.shape[1], dim_i
+            mloc, dim_d, dim_i
         )
-        Jt = expand_perm_jacobian(Jcp_all, s_perm).reshape(
-            m * n_perms, X.shape[1], dim_i
+        if use_E_cstr:
+            # Row-side permuted expanded Jacobians (for the F-row x E-col
+            # border, where permutations act on the row side).
+            Jit = expand_perm_jacobian(Jcp_loc, s_perm).reshape(
+                mloc * n_perms, dim_d, dim_i
+            )
+            Xit = Xp_loc.reshape(mloc * n_perms, dim_d)
+
+        # The scan carry must be marked device-varying (its body mixes in
+        # shard-local data), or shard_map rejects the carry type.
+        K_loc0 = jax.lax.pcast(
+            jnp.zeros((rloc, n_rows), dtype=X.dtype), axis, to='varying'
         )
-        Xt = Xp_all.reshape(m * n_perms, X.shape[1])
-        blk = hessian_tile(X_loc, Ji, Xt, Jt, sig)
-        blk = blk.reshape(m_loc, dim_i, m, n_perms, dim_i).sum(axis=3)
-        return blk.reshape(m_loc * dim_i, m * dim_i)
 
-    K = shard_map(
-        strip,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
-    )(Xr, Jcr, Xp, Jcp)  # (m_pad*3N [row-sharded], n)
+        def col_tile(K_loc, idx):
+            h, t = idx // n_tc, idx % n_tc
+            j0 = h * mloc + t * tile_c  # global padded point offset
+            Xjp = jax.lax.dynamic_slice_in_dim(Xp_all, j0, tile_c, 0)
+            Jcjp = jax.lax.dynamic_slice_in_dim(Jcp_all, j0, tile_c, 0)
+            Jt = expand_perm_jacobian(Jcjp, s_perm).reshape(
+                tile_c * n_perms, dim_d, dim_i
+            )
+            Xt = Xjp.reshape(tile_c * n_perms, dim_d)
 
-    if solver == 'cholesky':
-        # Distributed blocked Cholesky on the row-sharded system
-        # (-K + lam I); padded rows get an identity extension.
-        from ..ops.linalg import cho_solve_blocked
+            # Force rows x force columns.
+            blk = hessian_tile(X_loc, Ji, Xt, Jt, sig)
+            blk = blk.reshape(mloc, dim_i, tile_c, n_perms, dim_i).sum(axis=3)
+            blk = blk.reshape(mloc * dim_i, tile_c * dim_i)
+            cf0 = h * rloc + t * tile_c * dim_i  # interleaved col offset
+            K_loc = jax.lax.dynamic_update_slice(K_loc, blk, (0, cf0))
 
-        n_rows = m_pad * dim_i
-        A = -K
-        diag = jnp.where(jnp.arange(n_rows) < n, lam, 1.0)
-        A = A + jnp.diag(diag)
-        b_pad = jnp.pad(y, (0, n_rows - n))
-        nb = max(dim_i, 8)
-        x = cho_solve_blocked(A, b_pad, nb=nb)[:n]
-        r = jnp.zeros_like(x)
-        alphas = -x
-    else:
-        # Dense unpreconditioned CG on the row-sharded system
-        # A v = (-K + lam I) v. Padded rows contribute zero blocks.
-        row_valid = jnp.arange(m_pad * dim_i) < n
+            if use_E_cstr:
+                # Energy rows x force columns: -grad_x k(x_i, x_t)^T J_t
+                # (perms on the column side; sgdml/train.py:235-248).
+                fe = _grad_row_tile(X_loc, Xt, Jt, sig)
+                fe = fe.reshape(mloc, tile_c, n_perms, dim_i).sum(axis=2)
+                fe = fe.reshape(mloc, tile_c * dim_i)
+                K_loc = jax.lax.dynamic_update_slice(
+                    K_loc, fe, (mloc * dim_i, cf0)
+                )
 
-        def A_apply(v):
-            kv = K @ v  # row-sharded matmul -> (m_pad*3N,)
-            kv = jnp.where(row_valid, kv, 0.0)
-            return (-kv + lam * jnp.pad(v, (0, m_pad * dim_i - n)))[:n]
+                # Force rows x energy columns (perms act on the row side).
+                Xj = jax.lax.dynamic_slice_in_dim(X_all, j0, tile_c, 0)
+                ef = _grad_row_tile(Xj, Xit, Jit, sig)  # (tc, mloc*P, 3N)
+                ef = ef.reshape(tile_c, mloc, n_perms, dim_i).sum(axis=2)
+                ef = ef.transpose(1, 2, 0).reshape(mloc * dim_i, tile_c)
+                ce0 = h * rloc + mloc * dim_i + t * tile_c
+                K_loc = jax.lax.dynamic_update_slice(K_loc, ef, (0, ce0))
 
-        b = y
+                # Energy-energy block: -sum_p k(x_j, x_i^p).
+                ee = _value_tile(Xj, Xit, sig)  # (tc, mloc*P)
+                ee = ee.reshape(tile_c, mloc, n_perms).sum(axis=2).T
+                K_loc = jax.lax.dynamic_update_slice(
+                    K_loc, ee, (mloc * dim_i, ce0)
+                )
+            return K_loc, None
 
-        def cg_body(i, carry):
-            x, r, p, rs = carry
-            Ap = A_apply(p)
-            alpha = rs / (p @ Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            rs_new = r @ r
-            p = r + (rs_new / rs) * p
-            return (x, r, p, rs_new)
+        K_loc, _ = jax.lax.scan(
+            col_tile, K_loc0, jnp.arange(n_dev * n_tc)
+        )
+        return K_loc
 
-        x0 = jnp.zeros_like(b)
-        x, r, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, b, b, b @ b))
-        alphas = -x
-
-    R_d_desc_alpha = desc_ops.jac_dot_vec(
-        Jc, alphas.reshape(m, dim_i), n_atoms
-    )
-    return {
-        'alphas_F': alphas,
-        'std': y_std,
-        'R_desc': X,
-        'R_d_desc_alpha': R_d_desc_alpha,
-        'resid': jnp.linalg.norm(r),
-    }
+    in_specs = [P(axis), P(axis), P(axis), P(axis), P(), P(), P()]
+    return shard_map(
+        strip, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(axis)
+    )(X, Jc, Xp, Jcp, Xp, Jcp, X)
 
 
-def train_step_sharded(R, F_labels, perms, sig, lam, n_atoms, mesh,
-                       cg_iters: int = 100, solver: str = 'cg'):
-    """Multi-chip end-to-end training step (host wrapper).
+def assemble_kernel_sharded(
+    R_desc,
+    R_d_desc,
+    desc_perms,
+    sig,
+    n_atoms,
+    mesh: Mesh,
+    use_E_cstr: bool = False,
+    tile_c: int | None = None,
+):
+    """Row-sharded kernel assembly over a device mesh.
 
-    solver: 'cg' (dense CG on the sharded strip) or 'cholesky'
-    (distributed blocked Cholesky, ops/linalg.py).
+    Returns ``(K_int, layout)``: the interleaved ``(n_rows, n_rows)``
+    kernel matrix with rows distributed over the mesh, and the
+    :class:`ShardedLayout` mapping it back to the standard order. The
+    valid sub-matrix equals the single-chip ``assemble_kernel`` output
+    under the layout's symmetric permutation (verified in
+    tests/test_parallel.py).
     """
-    dperms = np.stack(
-        [desc_ops.perm_to_desc_perm(p) for p in np.asarray(perms)]
-    ).astype(np.int64)
-    key = (np.ascontiguousarray(dperms).tobytes(), dperms.shape)
-    return _train_step_jit(
-        jnp.asarray(R),
-        jnp.asarray(F_labels),
-        sig,
-        lam,
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    X = jnp.asarray(R_desc)
+    Jc = jnp.asarray(R_d_desc)
+    m = X.shape[0]
+    lay = ShardedLayout(m, n_atoms, n_dev, use_E_cstr)
+
+    if tile_c is None:
+        # Keep a tile's (mloc*3N, tile_c*P*3N) hessian intermediate modest.
+        n_perms = np.asarray(desc_perms).shape[0]
+        dim_i = 3 * n_atoms
+        budget = 64 * 1024**2 // X.dtype.itemsize
+        per_col = lay.mloc * dim_i * n_perms * dim_i
+        tile_c = max(1, min(lay.mloc, budget // max(per_col, 1)))
+    tile_c = _largest_divisor(lay.mloc, int(tile_c))
+
+    Xr = _pad_rows(X, lay.m_pad)
+    Jcr = _pad_rows(Jc, lay.m_pad)
+    dp = np.ascontiguousarray(np.asarray(desc_perms, dtype=np.int64))
+    K = _assemble_sharded_jit(
+        Xr, Jcr, sig,
         n_atoms=n_atoms,
-        desc_perms_key=key,
+        desc_perms_key=(dp.tobytes(), dp.shape),
+        use_E_cstr=use_E_cstr,
         mesh=mesh,
-        cg_iters=cg_iters,
-        solver=solver,
+        tile_c=int(tile_c),
     )
+    return K, lay
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=('nb',)
+)
+def _solve_interleaved_jit(K_int, y_int, mask, lam, *, nb):
+    """alphas = -(-K + lam I)^{-1} y on the masked interleaved system.
+
+    Padded rows/columns are zeroed and given a unit diagonal, so they solve
+    to exactly zero and do not perturb the valid block.
+    """
+    from ..ops.linalg import cho_solve_blocked
+
+    valid = mask[:, None] & mask[None, :]
+    A = jnp.where(valid, -K_int, 0.0)
+    n = A.shape[0]
+    diag = jnp.where(mask, jnp.asarray(lam, A.dtype), jnp.asarray(1.0, A.dtype))
+    A = A.at[jnp.arange(n), jnp.arange(n)].add(diag)
+    b = jnp.where(mask, y_int, 0.0)
+    return -cho_solve_blocked(A, b, nb=nb)
+
+
+def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout, nb: int | None = None):
+    """Solve the sharded interleaved system; returns standard-order alphas
+    (host numpy), same sign convention as ``Analytic.solve``."""
+    if nb is None:
+        nb = _largest_divisor(lay.n_rows, 1024)
+    x_int = _solve_interleaved_jit(
+        K_int,
+        jnp.asarray(lay.scatter_vec(y_std)),
+        jnp.asarray(lay.mask),
+        lam,
+        nb=int(nb),
+    )
+    return lay.gather_vec(np.asarray(x_int))
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel prediction
+# ---------------------------------------------------------------------------
+
+
+def predict_sharded(
+    Xq, Jcq, Xt, JA, sig, std, c, n_atoms: int, mesh: Mesh,
+    alphas_E_lin=None,
+):
+    """Batch-sharded prediction: queries split over devices, tables
+    replicated; GSPMD partitions the five-matmul program. Supports the
+    full model class (energy-constraint coefficients via
+    ``alphas_E_lin``); lattice/PBC is handled upstream in the descriptor
+    (queries here are already descriptors). Returns host (E, F)."""
+    from ..predict import predict_from_tables
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    B = Xq.shape[0]
+    Bp = -(-B // n_dev) * n_dev
+    Xq = shard_batch(_pad_rows(jnp.asarray(Xq), Bp), mesh)
+    Jcq = shard_batch(_pad_rows(jnp.asarray(Jcq), Bp), mesh)
+    Xt = replicate(jnp.asarray(Xt), mesh)
+    JA = replicate(jnp.asarray(JA), mesh)
+    aE = None if alphas_E_lin is None else replicate(
+        jnp.asarray(alphas_E_lin), mesh
+    )
+    E, F = predict_from_tables(
+        Xq, Jcq, Xt, JA, aE, sig, std, c, n_atoms=n_atoms
+    )
+    return E[:B], F[:B]

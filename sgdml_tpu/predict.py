@@ -169,10 +169,16 @@ class GDMLPredict:
         it (one XLA compilation per bucket). Replaces the reference's
         process-pool auto-tuner (sgdml/predict.py:770-1042) — tuning
         disappears under XLA with static shapes.
+    mesh: optional ``jax.sharding.Mesh`` for data-parallel serving: query
+        batches are sharded over devices, tables replicated; GSPMD
+        partitions the five-matmul program (the TPU-native replacement
+        for the reference's multi-GPU DataParallel serving,
+        sgdml/predict.py:376-378). Supports the full model class
+        (energy constraints, lattice/PBC).
     """
 
     def __init__(self, model, dtype=jnp.float64, batch_size: int = 64,
-                 transfer_dtype=None):
+                 transfer_dtype=None, mesh=None):
         if not _is_model(model):
             raise ValueError('The provided data structure is not a valid model.')
 
@@ -181,6 +187,9 @@ class GDMLPredict:
         self.dtype = dtype
         # Narrower host<->device transfer dtype (compute stays in `dtype`).
         self.transfer_dtype = transfer_dtype
+        self.mesh = mesh
+        self._n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+        batch_size = -(-int(batch_size) // self._n_dev) * self._n_dev
         self.batch_size = int(batch_size)
 
         self.lat_and_inv = None
@@ -215,11 +224,39 @@ class GDMLPredict:
         self._R_desc_train = R_desc
         self._R_d_desc_train = None
 
+        if mesh is not None:
+            self.Xt = self._replicate(self.Xt)
+            self.JA = self._replicate(self.JA)
+            if self.alphas_E_lin is not None:
+                self.alphas_E_lin = self._replicate(self.alphas_E_lin)
+            if self.lat_and_inv is not None:
+                self.lat_and_inv = tuple(
+                    self._replicate(x) for x in self.lat_and_inv
+                )
+
+    # -- mesh helpers --------------------------------------------------------
+
+    def _replicate(self, x):
+        if self.mesh is None:
+            return x
+        from .parallel.spmd import replicate
+
+        return replicate(x, self.mesh)
+
+    def _shard(self, x):
+        """Shard a (padded) query batch over the mesh's leading axis."""
+        if self.mesh is None:
+            return x
+        from .parallel.spmd import shard_batch
+
+        return shard_batch(x, self.mesh)
+
     # -- iterative-training hooks (reference: predict.py:510-601) ---------
 
     def set_R_desc(self, R_desc):
         self._R_desc_train = jnp.asarray(R_desc, dtype=self.dtype)
         self.Xt, _ = build_tables(self._R_desc_train, self._R_desc_train, self._desc_perms)
+        self.Xt = self._replicate(self.Xt)
 
     def set_R_d_desc(self, R_d_desc):
         """Store training compressed Jacobians ``(M, D, 3)`` — required
@@ -237,10 +274,11 @@ class GDMLPredict:
         _, self.JA = build_tables(
             self._R_desc_train, R_d_desc_alpha, self._desc_perms
         )
+        self.JA = self._replicate(self.JA)
         if alphas_E is not None:
-            self.alphas_E_lin = jnp.repeat(
+            self.alphas_E_lin = self._replicate(jnp.repeat(
                 jnp.asarray(alphas_E, dtype=self.dtype), self.n_perms
-            )
+            ))
 
     # -- main API ----------------------------------------------------------
 
@@ -255,6 +293,8 @@ class GDMLPredict:
         p = 1
         while p < B:
             p <<= 1
+        # Buckets stay divisible by the device count on a mesh.
+        p = -(-p // self._n_dev) * self._n_dev
         return min(p, b)
 
     def _pad(self, B: int) -> int:
@@ -293,6 +333,7 @@ class GDMLPredict:
             if Bp != B:
                 Xq = jnp.pad(Xq, ((0, Bp - B), (0, 0)))
                 Jcq = jnp.pad(Jcq, ((0, Bp - B), (0, 0), (0, 0)))
+            Xq, Jcq = self._shard(Xq), self._shard(Jcq)
             E, F = predict_from_tables(
                 Xq, Jcq, self.Xt, self.JA, self.alphas_E_lin,
                 self.sig, self.std, self.c, n_atoms=self.n_atoms,
@@ -321,6 +362,7 @@ class GDMLPredict:
         results = []
         for b0 in range(0, Bp, bs):
             Rb = jnp.asarray(R[b0 : b0 + bs], dtype=tdt or self.dtype)
+            Rb = self._shard(Rb)
             results.append(
                 _predict_geoms(
                     Rb, self.Xt, self.JA, self.alphas_E_lin, lat, lat_inv,

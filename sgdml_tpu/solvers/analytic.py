@@ -50,9 +50,10 @@ class Analytic:
     callback: optional progress callback (current, total, ...).
     """
 
-    def __init__(self, gdml_train=None, desc=None, callback=None):
+    def __init__(self, gdml_train=None, desc=None, callback=None, mesh=None):
         self.gdml_train = gdml_train
         self.callback = callback
+        self.mesh = mesh
 
     def solve(self, task, R_desc, R_d_desc, desc_perms, y):
         sig = float(np.squeeze(task['sig']))
@@ -61,6 +62,12 @@ class Analytic:
 
         n_train, dim_d = R_d_desc.shape[:2]
         n_atoms = int((1 + np.sqrt(8 * dim_d + 1)) / 2)
+
+        if self.mesh is not None:
+            return self._solve_sharded(
+                R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
+                use_E_cstr,
+            )
 
         t0 = timeit.default_timer()
         K = assemble_kernel(
@@ -95,6 +102,43 @@ class Analytic:
         t_solve = timeit.default_timer() - t0
         log.info('Solved %d-dim linear system in %.2f s', K.shape[0], t_solve)
 
+        self.t_assemble = t_assemble
+        self.t_solve = t_solve
+        return np.asarray(alphas)
+
+    def _solve_sharded(
+        self, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms, use_E_cstr
+    ):
+        """Multi-chip closed-form solve: row-sharded interleaved assembly +
+        distributed blocked Cholesky over the mesh (parallel/spmd.py).
+        Replaces the reference's multi-GPU DataParallel assembly
+        (sgdml/train.py:1464-1466) with ICI-collective SPMD."""
+        from ..parallel import spmd
+
+        t0 = timeit.default_timer()
+        K, lay = spmd.assemble_kernel_sharded(
+            jnp.asarray(R_desc),
+            jnp.asarray(R_d_desc),
+            desc_perms,
+            sig,
+            n_atoms,
+            self.mesh,
+            use_E_cstr=use_E_cstr,
+        )
+        K.block_until_ready()
+        t_assemble = timeit.default_timer() - t0
+        log.info(
+            'Assembled %dx%d kernel (row-sharded over %d devices) in %.2f s',
+            lay.n, lay.n, lay.n_dev, t_assemble,
+        )
+
+        t0 = timeit.default_timer()
+        alphas = spmd.solve_interleaved(K, np.asarray(y), lam, lay)
+        t_solve = timeit.default_timer() - t0
+        log.info(
+            'Solved %d-dim linear system (blocked Cholesky over %d devices) '
+            'in %.2f s', lay.n, lay.n_dev, t_solve,
+        )
         self.t_assemble = t_assemble
         self.t_solve = t_solve
         return np.asarray(alphas)

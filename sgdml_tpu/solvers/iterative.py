@@ -61,9 +61,17 @@ CG_CHUNK_ITERS = 50  # CG iterations per jitted chunk
 
 @functools.partial(jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr'))
 def _matvec_A(
-    v, X, Jc, sig, lam, *, n_atoms, desc_perms_key, use_E_cstr
+    v, Xq, Jcq, X, Jc, sig, lam, *, n_atoms, desc_perms_key, use_E_cstr
 ):
-    """A v = -predict_train(v) + lam v, fully on device."""
+    """A v = -predict_train(v) + lam v, fully on device.
+
+    ``Xq/Jcq`` are the query-side descriptor arrays and ``X/Jc`` the
+    table side; single-device callers pass the same arrays twice. On a
+    mesh, the query side arrives batch-sharded and the table side
+    replicated — GSPMD then partitions the five-matmul prediction over
+    devices and reduces with psum (the TPU-native analog of the
+    reference's multi-process matvec, sgdml/solvers/iterative.py:183-206).
+    """
     desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
         desc_perms_key[1]
     )
@@ -84,8 +92,11 @@ def _matvec_A(
         aE = jnp.repeat(v_E, desc_perms.shape[0])
 
     E, F = predict_from_tables(
-        X, Jc, Xt, JA, aE, sig, 1.0, 0.0, n_atoms=n_atoms
+        Xq, Jcq, Xt, JA, aE, sig, 1.0, 0.0, n_atoms=n_atoms
     )
+    # The query side may be zero-padded to a device-count multiple for
+    # sharding; only the first m rows are real training points.
+    E, F = E[:m], F[:m]
     pred = jnp.concatenate([F.reshape(-1), -E]) if use_E_cstr else F.reshape(-1)
     return -pred + lam * v
 
@@ -95,7 +106,7 @@ def _matvec_A(
     static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters'),
 )
 def _pcg_chunk(
-    state, Fp, X, Jc, sig, lam, b_norm, rtol,
+    state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
     *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
 ):
     """Jitted fixed-size PCG chunk.
@@ -111,12 +122,15 @@ def _pcg_chunk(
     """
 
     def M_apply(v):
-        corr = (Fp.T @ (Fp @ v.astype(Fp.dtype))).astype(v.dtype)
+        # Fp may be zero-padded along its column axis to a device-count
+        # multiple (padded columns contribute nothing to the correction).
+        vp = jnp.pad(v, (0, Fp.shape[1] - v.shape[0])).astype(Fp.dtype)
+        corr = (Fp.T @ (Fp @ vp)).astype(v.dtype)[: v.shape[0]]
         return (v - corr) / lam
 
     def A_apply(v):
         return _matvec_A(
-            v, X, Jc, sig, lam,
+            v, Xq, Jcq, X, Jc, sig, lam,
             n_atoms=n_atoms,
             desc_perms_key=desc_perms_key,
             use_E_cstr=use_E_cstr,
@@ -238,10 +252,12 @@ def _largest_divisor(n: int, cap: int) -> int:
 
 
 class Iterative:
-    def __init__(self, gdml_train=None, callback=None, max_memory: float = 12):
+    def __init__(self, gdml_train=None, callback=None, max_memory: float = 12,
+                 mesh=None):
         self.gdml_train = gdml_train
         self.callback = callback
         self._max_memory = max_memory
+        self.mesh = mesh
 
     # -- preconditioner ----------------------------------------------------
 
@@ -329,9 +345,49 @@ class Iterative:
             dperms.shape,
         )
 
+        # Mesh mode: queries batch-sharded, tables replicated — the CG
+        # matvec's dominant (M, D) x (D, M*P) matmuls partition over
+        # devices; the preconditioner factor is column-sharded so its
+        # two-matmul Woodbury apply reduces with one psum.
+        if self.mesh is not None:
+            from ..parallel.spmd import replicate, shard_batch
+
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            m_padq = -(-n_train // n_dev) * n_dev
+            Xq = shard_batch(
+                jnp.pad(X, ((0, m_padq - n_train), (0, 0))), self.mesh
+            )
+            Jcq = shard_batch(
+                jnp.pad(Jc, ((0, m_padq - n_train), (0, 0), (0, 0))),
+                self.mesh,
+            )
+            X = replicate(X, self.mesh)
+            Jc = replicate(Jc, self.mesh)
+        else:
+            Xq, Jcq = X, Jc
+
+        def _shard_factor(Fp_new):
+            """Column-shard the Woodbury factor over the mesh (columns are
+            the long n-axis); zero-pad to a device multiple — padded
+            columns drop out of the correction product."""
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_dev = int(np.prod(list(self.mesh.shape.values())))
+                n_cols = Fp_new.shape[1]
+                n_pad = -(-n_cols // n_dev) * n_dev
+                Fp_new = jnp.pad(Fp_new, ((0, 0), (0, n_pad - n_cols)))
+                return jax.device_put(
+                    Fp_new,
+                    NamedSharding(
+                        self.mesh, P(None, self.mesh.axis_names[0])
+                    ),
+                )
+            return Fp_new
+
         def A_apply(v):
             return _matvec_A(
-                v, X, Jc, sig, lam,
+                v, Xq, Jcq, X, Jc, sig, lam,
                 n_atoms=n_atoms,
                 desc_perms_key=perms_key,
                 use_E_cstr=use_E_cstr,
@@ -373,6 +429,7 @@ class Iterative:
         Fp, lev_scores = self._build_factor(
             X, Jc, dperms, sig, lam, inducing_pts_idxs, n_atoms, use_E_cstr
         )
+        Fp = _shard_factor(Fp)
         log.info(
             'Built Nystrom preconditioner (k=%d columns) in %.1f s.',
             len(inducing_pts_idxs),
@@ -384,7 +441,7 @@ class Iterative:
 
         def pcg_chunk(state, Fp_cur):
             return _pcg_chunk(
-                state, Fp_cur, X, Jc, sig, lam, b_norm, tol,
+                state, Fp_cur, Xq, Jcq, X, Jc, sig, lam, b_norm, tol,
                 n_atoms=n_atoms,
                 desc_perms_key=perms_key,
                 use_E_cstr=use_E_cstr,
@@ -396,7 +453,10 @@ class Iterative:
                 x_init if x_init is not None else np.zeros(n), dtype=b.dtype
             )
             r = b - A_apply(x)
-            corr = (Fp_cur.T @ (Fp_cur @ r.astype(Fp_cur.dtype))).astype(r.dtype)
+            rp = jnp.pad(r, (0, Fp_cur.shape[1] - r.shape[0]))
+            corr = (Fp_cur.T @ (Fp_cur @ rp.astype(Fp_cur.dtype)))[
+                : r.shape[0]
+            ].astype(r.dtype)
             z = (r - corr) / lam
             rz = r @ z
             return (x, r, z, z, rz, 0, jnp.zeros(CG_CHUNK_ITERS))
@@ -475,35 +535,54 @@ class Iterative:
             # unboundedly, iterative.py:775-777 "ignoring memory limits",
             # which would OOM on a fixed-HBM device — measured: the CG
             # chunk keeps TWO f64-split copies of the factor alive).
+            # Restarts are bounded even when k cannot grow any further
+            # (the reference exits after MAX_NUM_RESTARTS too,
+            # iterative.py:729-804) — without the bound a stalled solve
+            # would grind through max_iters = 30*N*M iterations.
             grow_cap = Iterative.max_n_inducing_pts(
                 n_train, n_atoms, self._max_memory * 1024**3
             )
-            if eff <= EFF_RESTART_THRESH and n_inducing_pts < grow_cap:
+            if eff <= EFF_RESTART_THRESH:
                 num_restarts += 1
                 steps_hist = []
                 if num_restarts >= MAX_NUM_RESTARTS:
-                    break
-                n_inducing_pts = min(
-                    int(np.ceil(1.2 * n_inducing_pts)), grow_cap
-                )
-                log.info(
-                    'CG stalled; restarting with k=%d inducing points '
-                    '(%d restarts left).',
-                    n_inducing_pts,
-                    MAX_NUM_RESTARTS - num_restarts,
-                )
-                if lev_scores is None:
-                    lev_scores = self._lev_scores(
-                        X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms,
-                        use_E_cstr,
+                    log.warning(
+                        'CG stalled %d times; giving up with the current '
+                        '(unconverged) solution.', num_restarts,
                     )
-                inducing_pts_idxs = self.inducing_pts_from_lev_scores(
-                    lev_scores[: n_train * dim_i], n_inducing_pts * dim_i
-                )
-                Fp, lev_scores = self._build_factor(
-                    X, Jc, dperms, sig, lam, inducing_pts_idxs, n_atoms,
-                    use_E_cstr,
-                )
+                    break
+                if n_inducing_pts < grow_cap:
+                    n_inducing_pts = min(
+                        int(np.ceil(1.2 * n_inducing_pts)), grow_cap
+                    )
+                    log.info(
+                        'CG stalled; restarting with k=%d inducing points '
+                        '(%d restarts left).',
+                        n_inducing_pts,
+                        MAX_NUM_RESTARTS - num_restarts,
+                    )
+                    if lev_scores is None:
+                        lev_scores = self._lev_scores(
+                            X, Jc, dperms, sig, lam, n_inducing_pts,
+                            n_atoms, use_E_cstr,
+                        )
+                    inducing_pts_idxs = self.inducing_pts_from_lev_scores(
+                        lev_scores[: n_train * dim_i],
+                        n_inducing_pts * dim_i,
+                    )
+                    Fp, lev_scores = self._build_factor(
+                        X, Jc, dperms, sig, lam, inducing_pts_idxs,
+                        n_atoms, use_E_cstr,
+                    )
+                    Fp = _shard_factor(Fp)
+                else:
+                    # Memory budget exhausted: re-seed the Krylov space
+                    # from the current iterate with the same factor.
+                    log.info(
+                        'CG stalled at the inducing-point memory cap '
+                        '(k=%d); re-seeding CG (%d restarts left).',
+                        n_inducing_pts, MAX_NUM_RESTARTS - num_restarts,
+                    )
                 state = init_state(np.asarray(x), Fp)
 
         is_conv = resid <= tol * b_norm

@@ -39,10 +39,16 @@ class GDMLTrain:
     ----------
     max_memory: device-memory budget in GB used for solver selection
         (defaults to 12 GB, a conservative single-chip HBM budget).
+    mesh: optional ``jax.sharding.Mesh``; when given, kernel assembly and
+        the linear solve run SPMD over the mesh (row-sharded assembly +
+        distributed blocked Cholesky, or batch-sharded CG matvecs) — the
+        TPU-native replacement for the reference's multi-GPU DataParallel
+        integration (sgdml/train.py:1464-1466).
     """
 
-    def __init__(self, max_memory: float | None = None):
+    def __init__(self, max_memory: float | None = None, mesh=None):
         self._max_memory = max_memory if max_memory is not None else 12
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     # Task creation
@@ -330,7 +336,7 @@ class GDMLTrain:
         solver_keys = {}
         if solver == 'analytic':
             log.info('Using analytic solver.')
-            analytic = Analytic(self, callback=callback)
+            analytic = Analytic(self, callback=callback, mesh=self.mesh)
             with timer.phase('solve (analytic: assembly + Cholesky)'):
                 alphas = analytic.solve(task, R_desc, R_d_desc, dperms, y)
         else:
@@ -338,7 +344,8 @@ class GDMLTrain:
 
             log.info('Using iterative solver (Nystrom-preconditioned CG).')
             iterative = Iterative(
-                self, callback=callback, max_memory=self._max_memory
+                self, callback=callback, max_memory=self._max_memory,
+                mesh=self.mesh,
             )
             with timer.phase('solve (iterative: Nystrom-pCG)'):
                 (
@@ -434,9 +441,13 @@ class GDMLTrain:
     def draw_strat_sample(self, T, n, excl_idxs=None):
         """Energy-stratified sampling with Freedman-Diaconis binning.
 
-        Behavioral parity with the reference's sampler
-        (sgdml/train.py:1537-1646), including the order of global-NumPy RNG
-        draws, so seeded splits are reproducible across frameworks.
+        Algorithm transcribed from the reference sampler
+        (sgdml/train.py:1537-1646) deliberately step-for-step: bit-exact
+        parity of the *global NumPy RNG draw order* is required so that
+        seeded splits are identical across frameworks — that split parity
+        is what makes every golden/parity test in this repo meaningful.
+        Any re-expression of the rebalancing loop would change the RNG
+        stream and silently desynchronize the splits.
         """
         if excl_idxs is None or len(excl_idxs) == 0:
             excl_idxs = None

@@ -96,8 +96,14 @@ def prepare_parallel(predictor, n_bulk: int = 1000, n_reps: int = 3,
 
     best = (None, 0.0)
     for bucket in BUCKET_LADDER:
-        if bucket > max(n_bulk, 64):
+        # Measure every rung up to and *including* the first one that
+        # covers the whole request in a single launch (a bucket >= n_bulk
+        # is a legitimate candidate: one padded launch often beats many
+        # small ones on high-latency links); only rungs beyond that are
+        # pure padding waste.
+        if bucket >= 2 * max(n_bulk, 32):
             break
+        bucket = -(-bucket // predictor._n_dev) * predictor._n_dev
         predictor.batch_size = bucket
         predictor.predict(R[:bucket])  # compile warm-up
         times = []

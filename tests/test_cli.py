@@ -58,6 +58,112 @@ def test_all_pipeline(dataset_file, tmp_path, monkeypatch, capsys):
     assert f_err['mae'] < 0.1 * f_scale
 
 
+def test_all_pipeline_mesh(dataset_file, tmp_path, monkeypatch, capsys):
+    """Full pipeline SPMD over the 8-device virtual mesh (--devices 8),
+    with symmetries and energy constraints — the production multi-chip
+    path end-to-end, matching the reference's multi-GPU integration
+    (sgdml/train.py:1464-1466, predict.py:376-378)."""
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(3)
+    cli.main(
+        [
+            'all', dataset_file, '30', '15', '60',
+            '-s', '8', '--E_cstr', '--solver', 'analytic', '--devices', '8',
+        ]
+    )
+    out = capsys.readouterr().out
+    assert 'Model saved to' in out
+    final = [
+        f for f in os.listdir('.')
+        if f.startswith('synth5') and f.endswith('.npz')
+    ]
+    model = io.load_dict(final[0])
+    assert 'alphas_E' in model  # energy constraints made it through
+    f_err = model['f_err']
+    if isinstance(f_err, np.ndarray):
+        f_err = f_err.item()
+    ds = io.load_dict(dataset_file)
+    assert f_err['mae'] < 0.1 * np.abs(ds['F']).mean()
+
+
+def test_validate_persists_errors_then_select(dataset_file, tmp_path,
+                                              monkeypatch):
+    """`validate` records errors into the model file so a later `select`
+    works without a dataset (reference: sgdml/cli.py:1756-1772)."""
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(4)
+    task_dir = cli.create(
+        cli.argparse.Namespace(
+            dataset=dataset_file, n_train=25, n_valid=10, sig=[5, 10],
+            lam=1e-10, gdml=True, no_E=False, E_cstr=False, overwrite=True,
+            task_dir='tasks_sel', max_memory=None, solver='analytic',
+        )
+    )
+    cli.train(
+        cli.argparse.Namespace(
+            task=task_dir, valid_dataset=None, overwrite=False,
+            max_memory=None, solver='analytic', devices=None,
+        )
+    )
+    cli.validate(
+        cli.argparse.Namespace(model=task_dir, dataset=dataset_file)
+    )
+    # Validation errors persisted into the model files...
+    for f in os.listdir(task_dir):
+        if f.startswith('model-'):
+            m = io.load_dict(os.path.join(task_dir, f))
+            f_err = m['f_err']
+            if isinstance(f_err, np.ndarray):
+                f_err = f_err.item()
+            assert np.isfinite(f_err['rmse'])
+    # ...so select works with NO dataset argument.
+    best = cli.select(
+        cli.argparse.Namespace(
+            model_dir=task_dir, dataset=None, out='best_model.npz'
+        )
+    )
+    assert os.path.exists(best)
+
+
+def test_test_mode_md5_exclusion(dataset_file, tmp_path, monkeypatch):
+    """Test mode excludes train/valid indices only when the dataset
+    fingerprint shows they belong to this dataset; a *different* dataset
+    is tested in full (reference: sgdml/cli.py:1439-1448)."""
+    monkeypatch.chdir(tmp_path)
+    ds = io.load_dict(dataset_file)
+    np.random.seed(5)
+    task_dir = cli.create(
+        cli.argparse.Namespace(
+            dataset=dataset_file, n_train=25, n_valid=10, sig=[10],
+            lam=1e-10, gdml=True, no_E=False, E_cstr=False, overwrite=True,
+            task_dir='tasks_md5', max_memory=None, solver='analytic',
+        )
+    )
+    cli.train(
+        cli.argparse.Namespace(
+            task=task_dir, valid_dataset=None, overwrite=False,
+            max_memory=None, solver='analytic', devices=None,
+        )
+    )
+    model_path = [
+        os.path.join(task_dir, f)
+        for f in os.listdir(task_dir)
+        if f.startswith('model-')
+    ][0]
+    model = io.load_dict(model_path)
+
+    # Same dataset: train+valid indices excluded from the test pool.
+    res_same = cli._validate_model(model, ds, n_test=0)
+    assert res_same['n'] == ds['R'].shape[0] - 25 - 10
+
+    # Different dataset (same atoms, new geometries): nothing excluded.
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+
+    ds_other = generate_md_dataset(n_atoms=5, n_frames=50, seed=77)
+    res_other = cli._validate_model(model, ds_other, n_test=0)
+    assert res_other['n'] == 50
+
+
 def test_show(dataset_file, capsys):
     cli.main(['show', dataset_file])
     out = capsys.readouterr().out

@@ -37,6 +37,21 @@ def test_nve_energy_conservation(model_and_ds):
     assert np.abs(R[-1] - R[0]).max() > 1e-4
 
 
+def test_default_masses_from_z(model_and_ds):
+    """MDEngine derives physical masses from the model's atomic numbers by
+    default (reference gets them from ASE, sgdml/intf/ase_calc.py)."""
+    model, ds = model_and_ds
+    from sgdml_tpu.utils.io import ATOMIC_MASSES
+
+    engine = MDEngine(model)
+    expect = ATOMIC_MASSES[np.asarray(model['z'], dtype=np.int64)]
+    np.testing.assert_allclose(np.asarray(engine.masses), expect)
+    assert not np.allclose(np.asarray(engine.masses), 1.0)
+    # Hydrogen is ~1 u; carbon ~12 u — sanity-anchor two common species.
+    assert abs(ATOMIC_MASSES[1] - 1.008) < 1e-3
+    assert abs(ATOMIC_MASSES[6] - 12.011) < 1e-3
+
+
 def test_md_forces_match_predictor(model_and_ds):
     model, ds = model_and_ds
     from sgdml_tpu.predict import GDMLPredict
