@@ -539,8 +539,17 @@ class Iterative:
             # (the reference exits after MAX_NUM_RESTARTS too,
             # iterative.py:729-804) — without the bound a stalled solve
             # would grind through max_iters = 30*N*M iterations.
-            grow_cap = Iterative.max_n_inducing_pts(
-                n_train, n_atoms, self._max_memory * 1024**3
+            # Growth headroom: fresh solves start AT the memory-formula
+            # cap, so restarts may exceed the (conservative) heuristic by
+            # 1.5x — the reference ignores memory limits entirely here
+            # (iterative.py:775-777). The hard ceiling is n_train:
+            # inducing columns are drawn without replacement from the
+            # n_train*3N force columns.
+            grow_cap = min(
+                n_train,
+                Iterative.max_n_inducing_pts(
+                    n_train, n_atoms, 1.5 * self._max_memory * 1024**3
+                ),
             )
             if eff <= EFF_RESTART_THRESH:
                 num_restarts += 1

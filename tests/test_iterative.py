@@ -68,6 +68,104 @@ def test_resume_warm_start(ds, models):
     assert m2['solver_resid'] <= m2['solver_tol'] * m2['norm_y_train']
 
 
+def _stall_solve(ds, monkeypatch, max_memory):
+    """Run a solve whose effectiveness monitor reports a stall after every
+    chunk (threshold forced to 100), with a tolerance too tight to reach —
+    so the restart machinery must fire and must terminate the solve."""
+    from sgdml_tpu.solvers import iterative as it_mod
+
+    monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 4)
+    monkeypatch.setattr(it_mod, 'EFF_RESTART_THRESH', 100)
+    monkeypatch.setattr(it_mod, 'MAX_NUM_RESTARTS', 3)
+    monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
+
+    trainer = GDMLTrain(max_memory=max_memory)
+    np.random.seed(41)
+    task = trainer.create_task(
+        ds, 24, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    from sgdml_tpu.ops import descriptor as desc_ops
+    import jax.numpy as jnp
+
+    n_train, n_atoms = task['R_train'].shape[:2]
+    R = task['R_train'].reshape(n_train, -1)
+    R_desc, R_d_desc = desc_ops.descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange(desc_ops.descriptor_dim(n_atoms))[None, :]
+    y = task['F_train'].ravel()
+    y_std = float(np.std(y))
+
+    solver = it_mod.Iterative(trainer, max_memory=max_memory)
+    # tol=0 is unreachable by construction: every chunk "stalls" under the
+    # forced threshold, so the restart machinery must terminate the solve.
+    return it_mod.Iterative.max_n_inducing_pts(
+        n_train, n_atoms, max_memory * 1024**3
+    ), solver.solve(
+        task, np.asarray(R_desc), np.asarray(R_d_desc), dperms, y / y_std,
+        y_std, tol=0.0,
+    )
+
+
+def test_cg_restart_grows_k_and_terminates(ds, monkeypatch, caplog):
+    """Stalls trigger preconditioner-strengthening restarts: k grows 1.2x
+    per restart and the solve exits after MAX_NUM_RESTARTS instead of
+    grinding to max_iters (reference: sgdml/solvers/iterative.py:729-804)."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
+        # 0.005 GB: initial k=8, growth headroom (1.5x budget) to 12.
+        k_init, out = _stall_solve(ds, monkeypatch, max_memory=0.005)
+    alphas, tol, num_iters, resid, train_rmse, ind_idxs, is_conv = out
+
+    assert not is_conv  # tol=0 is unreachable
+    assert np.isfinite(alphas).all()
+    # The solve terminated after a handful of chunks, not max_iters.
+    assert num_iters <= 5 * 5
+    restarts = [r for r in caplog.records if 'restarting with k=' in r.message]
+    assert restarts, 'no preconditioner-strengthening restart fired'
+    # k actually grew beyond the initial memory-formula cap.
+    dim_i = 3 * ds['R'].shape[1]
+    assert len(ind_idxs) // dim_i > k_init
+
+
+def test_cg_restart_bounded_at_memory_cap(ds, monkeypatch, caplog):
+    """When k is already at the inducing-point memory cap, a stall re-seeds
+    CG (bounded) instead of dead-ending until max_iters — the round-1
+    dead-end: eff<=0 with k>=grow_cap neither restarted nor broke."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
+        # Ample budget: initial k == n_train == grow cap, so growth is
+        # impossible and the stall must take the bounded re-seed branch.
+        grow_cap, out = _stall_solve(ds, monkeypatch, max_memory=0.02)
+    alphas, tol, num_iters, resid, train_rmse, ind_idxs, is_conv = out
+
+    assert not is_conv
+    assert np.isfinite(alphas).all()
+    assert num_iters <= 5 * 5, 'solve was not bounded by MAX_NUM_RESTARTS'
+    reseeds = [r for r in caplog.records if 'memory cap' in r.message]
+    assert reseeds, 'cap-bounded re-seed branch never fired'
+
+
+def test_cg_near_duplicate_geometries_still_returns(ds):
+    """Near-duplicate training geometries (ill-conditioned kernel) must not
+    hang or crash the solver; it returns a finite solution."""
+    trainer = GDMLTrain()
+    np.random.seed(43)
+    task = trainer.create_task(
+        ds, 20, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    # Make half the training set near-copies of the other half.
+    R = np.asarray(task['R_train'])
+    R[10:] = R[:10] + 1e-7 * np.random.default_rng(0).normal(size=R[:10].shape)
+    task['R_train'] = R
+    F = np.asarray(task['F_train'])
+    F[10:] = F[:10]
+    task['F_train'] = F
+
+    model = trainer.train(task, solver='cg')
+    assert np.isfinite(model['alphas_F']).all()
+
+
 def test_column_assembly_with_E_rows(ds):
     """K[:, force cols] with energy rows appended matches the full
     E-constrained assembly."""
