@@ -33,6 +33,15 @@ from .utils import io
 log = logging.getLogger('sgdml_tpu.cli')
 
 
+def _dataset_path(arg):
+    """Argparse type: dataset file path OR an MD5 fingerprint (optionally
+    '<dir>/<md5>') resolved against the matching dataset file — so
+    `sgdml-tpu test model.npz <md5>` works like the reference
+    (sgdml/utils/io.py:327-411)."""
+    path, _ = io.is_file_type(arg, 'dataset')
+    return path
+
+
 def _make_mesh(n_devices):
     """Build a 1-D device mesh for SPMD training/serving.
 
@@ -486,9 +495,12 @@ def reset(args):
 
 
 def _add_common_train_args(p):
-    p.add_argument('dataset', help='dataset npz file')
-    p.add_argument('n_train', type=int)
-    p.add_argument('n_valid', type=int)
+    p.add_argument(
+        'dataset', type=_dataset_path,
+        help='dataset npz file (or MD5 fingerprint to resolve)',
+    )
+    p.add_argument('n_train', type=io.is_strict_pos_int)
+    p.add_argument('n_valid', type=io.is_strict_pos_int)
     p.add_argument(
         '-s',
         '--sig',
@@ -544,23 +556,23 @@ def main(argv=None):
 
     p = sub.add_parser('validate', help='validate model(s)')
     p.add_argument('model', help='model file or directory')
-    p.add_argument('dataset')
+    p.add_argument('dataset', type=_dataset_path)
     p.add_argument('--devices', type=int, default=None)
 
     p = sub.add_parser('test', help='test a model')
     p.add_argument('model')
-    p.add_argument('dataset')
+    p.add_argument('dataset', type=_dataset_path)
     p.add_argument('n_test', type=int, nargs='?', default=0)
     p.add_argument('--devices', type=int, default=None)
 
     p = sub.add_parser('select', help='select best model from directory')
     p.add_argument('model_dir')
-    p.add_argument('dataset', nargs='?', default=None)
+    p.add_argument('dataset', nargs='?', default=None, type=_dataset_path)
     p.add_argument('--out', default=None)
 
     p = sub.add_parser('resume', help='resume iterative training')
     p.add_argument('model')
-    p.add_argument('dataset')
+    p.add_argument('dataset', type=_dataset_path)
     p.add_argument('--out', default=None)
     p.add_argument('--max_memory', type=float, default=None)
     p.add_argument('--devices', type=int, default=None)

@@ -292,3 +292,76 @@ def find_frag_perms(R, z, lat_and_inv=None, cutoff: float = 1.9,
     out = np.array(sorted(perms))
     group = complete_sym_group(out)
     return out if group is None else group
+
+
+def find_perms_in_frag(R, z, frag_idxs, lat_and_inv=None, max_processes=None):
+    """Symmetry search restricted to one molecular fragment: run the full
+    permutation discovery on the sub-system and embed the result as
+    whole-molecule permutations that fix every other atom
+    (reference: sgdml/utils/perm.py:774-788).
+    """
+    R = np.asarray(R)
+    if R.ndim == 2:
+        R = R.reshape(R.shape[0], -1, 3)
+    n_atoms = R.shape[1]
+    frag_idxs = np.asarray(frag_idxs)
+
+    frag_perms = find_perms(
+        R[:, frag_idxs, :], np.asarray(z)[frag_idxs], lat_and_inv=lat_and_inv,
+        max_processes=max_processes,
+    )
+
+    perms = np.tile(np.arange(n_atoms), (frag_perms.shape[0], 1))
+    perms[:, frag_idxs] = frag_idxs[frag_perms]
+    return perms
+
+
+def find_perms_via_reflection(r, z, frag_idxs=None, plane_3idxs=None,
+                              lat_and_inv=None, max_processes=None):
+    """Permutation induced by mirroring (a fragment of) the molecule
+    through a plane, found by matching original to reflected positions
+    (reference: sgdml/utils/perm.py:917-965 — the reference version also
+    prints jmol visualization commands, omitted here).
+
+    Parameters
+    ----------
+    r: ``(N, 3)`` geometry.
+    z: ``(N,)`` species (used to forbid cross-species matches; the
+        reference matches on distance alone).
+    frag_idxs: atoms to reflect (default: all).
+    plane_3idxs: three plane-defining entries — atom indices, or
+        2-tuples of atom indices whose bond centers define the plane.
+    """
+    r = np.asarray(r, dtype=np.float64).reshape(-1, 3)
+    z = np.asarray(z)
+    n_atoms = r.shape[0]
+    if frag_idxs is None:
+        frag_idxs = np.arange(n_atoms)
+    frag_idxs = np.asarray(frag_idxs)
+    if plane_3idxs is None:
+        raise ValueError('plane_3idxs (three atoms or bond-center tuples) '
+                         'is required')
+
+    def _point(entry):
+        if isinstance(entry, tuple):
+            return 0.5 * (r[entry[0]] + r[entry[1]])
+        return r[entry]
+
+    a, b, c = (_point(e) for e in plane_3idxs)
+    ab = (b - a) / np.linalg.norm(b - a)
+    ac = (c - a) / np.linalg.norm(c - a)
+    normal = np.cross(ab, ac)
+    norm = np.linalg.norm(normal)
+    if norm < 1e-12:
+        raise ValueError('plane-defining points are collinear')
+    normal = (normal / norm)[:, None]
+    reflection = np.eye(3) - 2.0 * (normal @ normal.T)
+
+    # Reflect the fragment about the plane through point `a`.
+    r_ref = r.copy()
+    r_ref[frag_idxs] = (r[frag_idxs] - a) @ reflection.T + a
+
+    cost = np.linalg.norm(r[:, None, :] - r_ref[None, :, :], axis=-1)
+    cost = cost + (z[:, None] != z[None, :]) * (10.0 + cost.max())
+    _, perm = scipy.optimize.linear_sum_assignment(cost)
+    return perm

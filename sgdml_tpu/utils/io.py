@@ -250,6 +250,132 @@ def parse_list_or_range(arg: str):
     raise ValueError("'%s' is not an integer, list, or range (start:step:stop)" % arg)
 
 
+# ---------------------------------------------------------------------------
+# Validating argparse types (reference: sgdml/utils/io.py:327-708)
+# ---------------------------------------------------------------------------
+
+_MD5_RE = re.compile(r'^[a-f0-9]{32}$')
+_KIND_CODE = {'dataset': 'd', 'task': 't', 'model': 'm'}
+
+
+def _arg_error(msg):
+    import argparse
+
+    return argparse.ArgumentTypeError(msg)
+
+
+def filter_file_type(directory: str, kind: str, md5_match=None):
+    """File names in ``directory`` whose npz artifact type matches ``kind``
+    ('dataset' | 'task' | 'model'), optionally restricted to dataset files
+    whose MD5 fingerprint equals ``md5_match``
+    (reference behavior: sgdml/utils/io.py:414-461).
+    """
+    code = _KIND_CODE[kind]
+    if md5_match is not None and isinstance(md5_match, str):
+        md5_match = md5_match.encode('utf-8')
+    names = []
+    for name in sorted(os.listdir(directory)):
+        if not name.endswith('.npz'):
+            continue
+        path = os.path.join(directory, name)
+        try:
+            data = load_dict(path)
+        except Exception:
+            raise _arg_error('%s contains unreadable .npz files' % directory)
+        if artifact_type(data) != code:
+            continue
+        if md5_match is None:
+            names.append(name)
+        else:
+            md5 = data.get('md5')
+            if isinstance(md5, str):
+                md5 = md5.encode('utf-8')
+            if md5 == md5_match:
+                names.append(name)
+    return names
+
+
+def is_file_type(arg: str, kind: str):
+    """Validate a file path of the given artifact kind; dataset arguments
+    may also be an MD5 fingerprint (optionally prefixed with a directory),
+    which is resolved against the matching dataset file
+    (reference behavior: sgdml/utils/io.py:327-411).
+
+    Returns ``(path, data_dict)``; raises ``argparse.ArgumentTypeError``.
+    """
+    if kind == 'dataset' and not arg.endswith('.npz') and not os.path.isdir(arg):
+        if _MD5_RE.match(arg):
+            directory, md5_str = '.', arg
+        else:
+            md5_str = os.path.basename(os.path.normpath(arg))
+            directory = os.path.dirname(os.path.normpath(arg))
+            if directory == '':
+                raise _arg_error('%s is not a .npz file' % arg)
+            if _MD5_RE.match(md5_str) and not os.path.isdir(directory):
+                raise _arg_error('%s is not a directory' % directory)
+
+        matches = filter_file_type(directory, kind, md5_match=md5_str)
+        if not matches:
+            raise _arg_error(
+                "No %s files with fingerprint '%s' found in '%s'"
+                % (kind, md5_str, directory)
+            )
+        if len(matches) > 1:
+            raise _arg_error(
+                "Multiple %s files with fingerprint '%s' found in '%s':\n%s"
+                % (kind, md5_str, directory, '\n'.join('  ' + m for m in matches))
+            )
+        arg = os.path.join(directory, matches[0])
+
+    if not arg.endswith('.npz'):
+        raise _arg_error('%s is not a .npz file' % arg)
+    try:
+        data = load_dict(arg)
+    except Exception:
+        raise _arg_error('%s is not readable' % arg)
+    if artifact_type(data) != _KIND_CODE[kind]:
+        raise _arg_error('%s is not a %s file' % (arg, kind))
+    return arg, data
+
+
+def is_valid_file_type(arg: str):
+    """Accept any of dataset/task/model
+    (reference: sgdml/utils/io.py:464-511)."""
+    for kind in ('dataset', 'task', 'model'):
+        try:
+            return is_file_type(arg, kind)
+        except Exception:
+            continue
+    raise _arg_error('%s is neither a dataset, task, nor model file' % arg)
+
+
+def is_dir_with_file_type(arg: str, kind: str, or_file: bool = False):
+    """Validate a directory containing files of the given kind; with
+    ``or_file`` a single file path acts as a one-file directory
+    (reference: sgdml/utils/io.py:514-569).
+
+    Returns ``(dir_path, [file_names])``.
+    """
+    if or_file and os.path.isfile(arg):
+        is_file_type(arg, kind)  # raises on problems
+        return os.path.dirname(arg), [os.path.basename(arg)]
+    if not os.path.isdir(arg):
+        raise _arg_error('%s is not a directory' % arg)
+    return arg, filter_file_type(arg, kind)
+
+
+def is_strict_pos_int(arg: str) -> int:
+    """Validate a strictly positive integer CLI argument
+    (reference: sgdml/utils/io.py:642-664)."""
+    try:
+        value = int(arg)
+    except ValueError:
+        raise _arg_error('%s is not an integer' % arg)
+    if value <= 0:
+        raise _arg_error('%s must be strictly positive' % arg)
+    return value
+
+
 def is_task_dir_resumable(
     task_dir, train_dataset, valid_dataset, n_train, n_valid, sigs, use_E_cstr
 ):

@@ -146,3 +146,56 @@ def test_alignment_match_recovers_rotation():
     perm = perm_mod.find_perms_via_alignment(r, r_b, z)
     assert perm is not None
     np.testing.assert_array_equal(np.asarray(perm), np.arange(6))
+
+
+def test_find_perms_via_reflection():
+    """A molecule symmetric about a plane yields the mirror permutation:
+    off-plane twins swap, on-plane atoms stay fixed
+    (reference: sgdml/utils/perm.py:917-965)."""
+    from sgdml_tpu.perm import find_perms_via_reflection
+
+    # Plane y=0 defined by atoms 0,1,2; atoms 3/4 and 5/6 are mirror twins.
+    r = np.array([
+        [0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0],
+        [0.5, 0.8, 0.3],
+        [0.5, -0.8, 0.3],
+        [1.5, 0.4, -0.2],
+        [1.5, -0.4, -0.2],
+    ])
+    z = np.array([6, 6, 8, 1, 1, 1, 1])
+    perm = find_perms_via_reflection(r, z, plane_3idxs=(0, 1, 2))
+    np.testing.assert_array_equal(perm, [0, 1, 2, 4, 3, 6, 5])
+
+    # Bond-center plane definition: centers of (3,4) and (5,6) lie on y=0.
+    perm2 = find_perms_via_reflection(
+        r, z, plane_3idxs=((3, 4), (5, 6), 2)
+    )
+    np.testing.assert_array_equal(perm2, [0, 1, 2, 4, 3, 6, 5])
+
+    # Species mismatch is forbidden even when geometrically closest.
+    z_mixed = np.array([6, 6, 8, 1, 9, 1, 1])  # atom 4 is now F
+    perm3 = find_perms_via_reflection(r, z_mixed, plane_3idxs=(0, 1, 2))
+    assert perm3[3] != 4 and perm3[4] != 3
+
+
+def test_find_perms_in_frag():
+    """Fragment-restricted symmetry search embeds sub-system permutations
+    as whole-molecule perms fixing all other atoms
+    (reference: sgdml/utils/perm.py:774-788)."""
+    from sgdml_tpu.datasets.synthetic import generate_symmetric_md_dataset
+    from sgdml_tpu.perm import find_perms_in_frag
+
+    ds = generate_symmetric_md_dataset(n_frames=40, seed=2)
+    n_atoms = ds['R'].shape[1]
+    frag = np.arange(n_atoms)  # whole molecule as the "fragment"
+    perms = find_perms_in_frag(ds['R'][:20], ds['z'], frag)
+    assert perms.shape[1] == n_atoms
+    assert (np.sort(perms, axis=1) == np.arange(n_atoms)).all()
+    assert perms.shape[0] > 1  # the symmetric synthetic system has >1 perm
+
+    # Restricting to a sub-fragment keeps outside atoms fixed.
+    sub = np.arange(n_atoms - 1)
+    perms_sub = find_perms_in_frag(ds['R'][:20], ds['z'], sub)
+    assert (perms_sub[:, n_atoms - 1] == n_atoms - 1).all()
