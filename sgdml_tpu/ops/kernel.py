@@ -55,7 +55,9 @@ __all__ = [
     'Mat52Coeffs',
     'perm_incidence',
     'perm_tables',
+    'gram_maps',
     'hessian_tile',
+    'hessian_tile_compressed',
     'assemble_kernel',
     'assemble_kernel_columns',
 ]
@@ -149,6 +151,152 @@ def hessian_tile(Xi, Ji, Xt, Jt, sig):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _gram_maps_cached(desc_perms_key, n_atoms: int):
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    return gram_maps(desc_perms, n_atoms)
+
+
+def gram_maps(desc_perms: np.ndarray, n_atoms: int):
+    """Static index maps for the closed-form Jacobian Gram (host-side).
+
+    The Gram block between row geometry ``i`` (identity descriptor order)
+    and permuted column geometry ``t`` is
+
+        G[(m,a),(n,b)] = sum_d s[d,m] s_p[d,n] Jc_i[d,a] Jc_t[d,b],
+
+    and ``s[d,m] s_p[d,n] != 0`` only when atom ``m`` is in pair(d) and atom
+    ``n`` is in pair(perm_p(d)). For ``n != pi_p(m)`` exactly ONE descriptor
+    contributes (d = pair(m, pi_p^-1(n))); for ``n == pi_p(m)`` all ``N-1``
+    descriptors through ``m`` contribute. So G collapses to one static
+    gather plus one small row-reduction matmul — O(9*N*D) work per pair of
+    geometries instead of the dense O(9*N^2*D) Gram the reference's algebra
+    implies (sgdml/train.py:194-232).
+
+    Returns per permutation ``p`` (stacked along axis 0):
+    g_idx: ``(P, N*N)`` int32 — contributing descriptor per (m, n) block
+        (unused value 0 at the ``n == pi_p(m)`` slots).
+    sgn: ``(P, N*N)`` — sign ``s[d,m] * s_p[d,n]`` (0 at diagonal slots).
+    a_diag: ``(P, N, D)`` — signed row-reduction for the ``n == pi_p(m)``
+        blocks: ``A[m, d] = s[d, m] * s_p[d, pi_p(m)]``.
+    diag_col: ``(P, N)`` int32 — ``pi_p(m)``.
+    """
+    desc_perms = np.asarray(desc_perms)
+    n_perms = desc_perms.shape[0]
+    s = incidence(n_atoms)  # (D, N)
+    dim_d = s.shape[0]
+    g_idx = np.zeros((n_perms, n_atoms * n_atoms), dtype=np.int32)
+    sgn = np.zeros((n_perms, n_atoms * n_atoms))
+    a_diag = np.zeros((n_perms, n_atoms, dim_d))
+    diag_col = np.zeros((n_perms, n_atoms), dtype=np.int32)
+
+    b1 = (s != 0).T  # (N, D) atom-in-pair
+    for p in range(n_perms):
+        s_p = s[desc_perms[p]]  # (D, N)
+        b2 = (s_p != 0).T  # (N, D)
+        # hits[m, n, d] — does descriptor d touch row-atom m and col-atom n?
+        hits = b1[:, None, :] & b2[None, :, :]
+        counts = hits.sum(axis=2)  # (N, N) in {1, N-1}
+        if not np.all((counts == 1) | (counts == n_atoms - 1)):
+            raise ValueError('inconsistent permutation incidence structure')
+        dc = np.argmax(counts, axis=1)  # pi_p(m); unique since N-1 > 1
+        diag_col[p] = dc
+        g = np.argmax(hits, axis=2)  # unique d where counts == 1
+        g_idx[p] = g.reshape(-1)
+        sg = s[g, np.arange(n_atoms)[:, None]] * s_p[g, np.arange(n_atoms)[None, :]]
+        sg[np.arange(n_atoms), dc] = 0.0
+        sgn[p] = sg.reshape(-1)
+        a_diag[p] = (s * s_p[:, dc]).T  # A[m, d] = s[d, m] * s_p[d, pi(m)]
+    return g_idx, sgn, a_diag, diag_col
+
+
+def hessian_tile_compressed(
+    Xi, Jci, Xtp, Jctp, sig, s, s_perm, g_idx, sgn, a_diag, diag_col
+):
+    """Perm-summed kernel Hessian blocks from *compressed* Jacobians.
+
+    Same math as :func:`hessian_tile` (verified to 1e-8 against reference
+    golden values in tests/test_kernel.py) but the Jacobian Gram term is
+    computed via the closed form of :func:`gram_maps` — O(9*N*D) per
+    (geometry pair, perm) instead of O(9*N^2*D), and no ``(D, 3N)`` full
+    Jacobians are ever materialized.
+
+    Parameters
+    ----------
+    Xi: ``(I, D)`` row descriptors. Jci: ``(I, D, 3)`` compressed row Jacobians.
+    Xtp: ``(T, P, D)`` permuted column descriptors.
+    Jctp: ``(T, P, D, 3)`` permuted compressed column Jacobians.
+    s: ``(D, N)`` incidence. s_perm: ``(P, D, N)`` permuted incidences.
+    g_idx/sgn/a_diag/diag_col: outputs of :func:`gram_maps` (device arrays).
+
+    Returns
+    -------
+    ``(I, 3N, T, 3N)`` tile, already summed over permutations.
+    """
+    dim_i, dim_d = Xi.shape
+    dim_t = Xtp.shape[0]
+    n_atoms = s.shape[1]
+    atom_ids = jnp.arange(n_atoms)
+
+    def body(acc, inp):
+        xt, jct, sp, gf, sg, ad, dc = inp
+        d = Xi[:, None, :] - xt[None, :, :]  # (I, T, D)
+        u5 = _SQRT5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+        b, cc = Mat52Coeffs.hess(u5, sig)  # (I, T)
+
+        # Gradient contractions through the incidence factorization.
+        wa = Jci[:, None, :, :] * d[..., None]  # (I, T, D, 3)
+        a = jnp.einsum('dm,itdc->itmc', s, wa)  # (I, T, N, 3)
+        wc = jct[None, :, :, :] * d[..., None]  # (I, T, D, 3)
+        c = jnp.einsum('dn,itdc->itnc', sp, wc)  # (I, T, N, 3)
+
+        # Diagonal-slot blocks: row-reduction over descriptors through m.
+        t1 = ad[None, :, None, :] * Jci.transpose(0, 2, 1)[:, None, :, :]
+        t2 = jnp.einsum('imad,tdb->itmab', t1, jct)  # (I, T, N, 3, 3) MXU
+
+        # Off-diagonal blocks: one descriptor each — gather then outer.
+        jci_g = jnp.take(Jci, gf, axis=1)  # (I, N*N, 3)
+        jct_g = jnp.take(jct, gf, axis=1)  # (T, N*N, 3)
+        wg = (
+            jci_g[:, None, :, :, None]
+            * jct_g[None, :, :, None, :]
+            * sg[None, None, :, None, None]
+        ).reshape(dim_i, dim_t, n_atoms, n_atoms, 3, 3)
+
+        mask = (atom_ids[None, :] == dc[:, None])[None, None, :, :, None, None]
+        gram = jnp.where(mask, t2[:, :, :, None, :, :], wg)
+
+        k1 = jnp.einsum('it,itma,itnb->itmanb', 5.0 * b, a, c)
+        out = k1 - cc[:, :, None, None, None, None] * gram.transpose(
+            0, 1, 2, 4, 3, 5
+        )
+        return acc + out, None
+
+    # Tie the zero carry to the inputs so its device-varying type matches
+    # the body output when this runs inside a shard_map region.
+    init = jnp.zeros(
+        (dim_i, dim_t, n_atoms, 3, n_atoms, 3), dtype=Xi.dtype
+    ) + 0.0 * (Xi[0, 0] + Xtp[0, 0, 0])
+    acc, _ = jax.lax.scan(
+        body,
+        init,
+        (
+            Xtp.transpose(1, 0, 2),
+            Jctp.transpose(1, 0, 2, 3),
+            s_perm,
+            g_idx,
+            sgn,
+            a_diag,
+            diag_col,
+        ),
+    )
+    return acc.transpose(0, 2, 3, 1, 4, 5).reshape(
+        dim_i, 3 * n_atoms, dim_t, 3 * n_atoms
+    )
+
+
 def _grad_row_tile(Xi, Xt, Jt, sig):
     """Energy-force coupling rows: ``out[i, t, :] = -w(d) d^T J_t`` with
     ``d = x_i - x_t`` (reference sgdml/train.py:235-248). Shape (I, T, 3N)."""
@@ -201,6 +349,13 @@ def _assemble_jit(
     n_perms = desc_perms.shape[0]
     s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
     s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
+    g_idx_h, sgn_h, a_diag_h, diag_col_h = _gram_maps_cached(
+        desc_perms_key, n_atoms
+    )
+    g_idx = jnp.asarray(g_idx_h)
+    sgn = jnp.asarray(sgn_h, dtype=X.dtype)
+    a_diag = jnp.asarray(a_diag_h, dtype=X.dtype)
+    diag_col = jnp.asarray(diag_col_h)
 
     Xp, Jcp = perm_tables(X, Jc, desc_perms)  # (M, P, D), (M, P, D, 3)
 
@@ -236,20 +391,20 @@ def _assemble_jit(
         Xjp = jax.lax.dynamic_slice_in_dim(Xpc, j0, tile_j, 0)
         Jcjp = jax.lax.dynamic_slice_in_dim(Jcpc, j0, tile_j, 0)
 
-        # Expand to full Jacobians (tile-local).
-        Ji = jnp.einsum('dn,idc->idnc', s_id, Jci).reshape(tile_i, dim_d, dim_i)
-        Jt = expand_perm_jacobian(Jcjp, s_perm).reshape(
-            tile_j * n_perms, dim_d, dim_i
-        )
-        Xt = Xjp.reshape(tile_j * n_perms, dim_d)
-
-        blk = hessian_tile(Xi, Ji, Xt, Jt, sig)  # (TI, 3N, TJ*P, 3N)
-        blk = blk.reshape(tile_i, dim_i, tile_j, n_perms, dim_i).sum(axis=3)
+        blk = hessian_tile_compressed(
+            Xi, Jci, Xjp, Jcjp, sig, s_id, s_perm, g_idx, sgn, a_diag,
+            diag_col,
+        )  # (TI, 3N, TJ, 3N), perm-summed
         blk = blk.reshape(tile_i * dim_i, tile_j * dim_i)
 
         K = jax.lax.dynamic_update_slice(K, blk, (i0 * dim_i, j0 * dim_i))
 
         if use_E_cstr:
+            # Expanded column tables (E-constraint rows only; lower-order).
+            Jt = expand_perm_jacobian(Jcjp, s_perm).reshape(
+                tile_j * n_perms, dim_d, dim_i
+            )
+            Xt = Xjp.reshape(tile_j * n_perms, dim_d)
             # Energy rows under force columns: -grad_x k(x_i, x_t)^T J_t.
             fe = _grad_row_tile(Xi, Xt, Jt, sig)  # (TI, TJ*P, 3N)
             fe = fe.reshape(tile_i, tile_j, n_perms, dim_i).sum(axis=2)
@@ -310,11 +465,15 @@ def _perms_key(desc_perms: np.ndarray):
 
 
 def default_tile_sizes(m: int, n_atoms: int, n_perms: int, dtype_bytes: int = 8):
-    """Pick (tile_i, tile_j) so a tile's Gram intermediate stays ~<=64 MB."""
-    dim_i = 3 * n_atoms
+    """Pick (tile_i, tile_j) so the largest per-tile intermediate of
+    :func:`hessian_tile_compressed` stays ~<=64 MB.
+
+    The permutation axis is a scan, so it does not multiply tile memory;
+    the per-(i, t) footprint is a few 9N^2 planes plus a few D-vectors.
+    """
+    dim_d = descriptor_dim_local = (n_atoms * (n_atoms - 1)) // 2
     budget = 64 * 1024**2
-    # tile memory ~ tile_i*dim_i * tile_j*n_perms*dim_i * bytes
-    per_pair = dim_i * dim_i * n_perms * dtype_bytes
+    per_pair = (5 * 9 * n_atoms * n_atoms + 8 * dim_d) * dtype_bytes
     pairs = max(1, budget // per_pair)
     tile = max(1, int(math.sqrt(pairs)))
     return min(m, tile), min(m, max(1, pairs // max(tile, 1)))

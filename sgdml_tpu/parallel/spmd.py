@@ -42,11 +42,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import descriptor as desc_ops
 from ..ops.kernel import (
-    Mat52Coeffs,
+    _gram_maps_cached,
     _grad_row_tile,
     _value_tile,
     expand_perm_jacobian,
-    hessian_tile,
+    hessian_tile_compressed,
     incidence,
     perm_incidence,
     perm_tables,
@@ -159,15 +159,18 @@ def _assemble_sharded_jit(
 
     s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
     s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
+    g_idx_h, sgn_h, a_diag_h, diag_col_h = _gram_maps_cached(
+        desc_perms_key, n_atoms
+    )
+    g_idx = jnp.asarray(g_idx_h)
+    sgn = jnp.asarray(sgn_h, dtype=X.dtype)
+    a_diag = jnp.asarray(a_diag_h, dtype=X.dtype)
+    diag_col = jnp.asarray(diag_col_h)
     Xp, Jcp = perm_tables(X, Jc, desc_perms)  # (m_pad, P, D), (.., D, 3)
 
     n_tc = mloc // tile_c  # column sub-tiles per device group
 
     def strip(X_loc, Jc_loc, Xp_loc, Jcp_loc, Xp_all, Jcp_all, X_all):
-        # Row-side tables (local): plain queries + full Jacobians.
-        Ji = jnp.einsum('dn,idc->idnc', s_id, Jc_loc).reshape(
-            mloc, dim_d, dim_i
-        )
         if use_E_cstr:
             # Row-side permuted expanded Jacobians (for the F-row x E-col
             # border, where permutations act on the row side).
@@ -187,19 +190,21 @@ def _assemble_sharded_jit(
             j0 = h * mloc + t * tile_c  # global padded point offset
             Xjp = jax.lax.dynamic_slice_in_dim(Xp_all, j0, tile_c, 0)
             Jcjp = jax.lax.dynamic_slice_in_dim(Jcp_all, j0, tile_c, 0)
-            Jt = expand_perm_jacobian(Jcjp, s_perm).reshape(
-                tile_c * n_perms, dim_d, dim_i
-            )
-            Xt = Xjp.reshape(tile_c * n_perms, dim_d)
 
-            # Force rows x force columns.
-            blk = hessian_tile(X_loc, Ji, Xt, Jt, sig)
-            blk = blk.reshape(mloc, dim_i, tile_c, n_perms, dim_i).sum(axis=3)
+            # Force rows x force columns (closed-form Gram, perm-summed).
+            blk = hessian_tile_compressed(
+                X_loc, Jc_loc, Xjp, Jcjp, sig, s_id, s_perm, g_idx, sgn,
+                a_diag, diag_col,
+            )
             blk = blk.reshape(mloc * dim_i, tile_c * dim_i)
             cf0 = h * rloc + t * tile_c * dim_i  # interleaved col offset
             K_loc = jax.lax.dynamic_update_slice(K_loc, blk, (0, cf0))
 
             if use_E_cstr:
+                Jt = expand_perm_jacobian(Jcjp, s_perm).reshape(
+                    tile_c * n_perms, dim_d, dim_i
+                )
+                Xt = Xjp.reshape(tile_c * n_perms, dim_d)
                 # Energy rows x force columns: -grad_x k(x_i, x_t)^T J_t
                 # (perms on the column side; sgdml/train.py:235-248).
                 fe = _grad_row_tile(X_loc, Xt, Jt, sig)
