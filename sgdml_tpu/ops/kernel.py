@@ -60,6 +60,7 @@ __all__ = [
     'hessian_tile_compressed',
     'assemble_kernel',
     'assemble_kernel_columns',
+    'assemble_kernel_tree',
 ]
 
 _SQRT5 = math.sqrt(5.0)
@@ -523,6 +524,146 @@ def assemble_kernel(
         tile_i=int(tile_i),
         tile_j=int(tile_j),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'n_atoms', 'desc_perms_key', 'n_row_pts', 'n_col_pts', 'tile_i',
+        'tile_j', 'diag',
+    ),
+)
+def _assemble_block_jit(
+    X, Jc, sig, row_pt0, col_pt0, m_true,
+    *, n_atoms, desc_perms_key, n_row_pts, n_col_pts, tile_i, tile_j, diag,
+):
+    """One rectangular block of the NEGATED kernel: ``A = -K`` restricted to
+    ``rows = row_pt0 : row_pt0 + n_row_pts`` x ``cols = ...`` (point units,
+    each point contributing 3N rows/cols). Inputs are padded to the global
+    point count; rows/cols of padded points (global index >= m_true) are
+    zeroed, and for ``diag`` blocks their diagonal entries are set to 1 so
+    the padded system stays SPD.
+
+    Backs the tree-packed f32 assembly of the mixed-precision analytic
+    solver (ops/treechol.py); same tile math as :func:`_assemble_jit`.
+    """
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    dim_i = 3 * n_atoms
+    n_perms = desc_perms.shape[0]
+    s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
+    s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
+    g_idx_h, sgn_h, a_diag_h, diag_col_h = _gram_maps_cached(
+        desc_perms_key, n_atoms
+    )
+    g_idx = jnp.asarray(g_idx_h)
+    sgn = jnp.asarray(sgn_h, dtype=X.dtype)
+    a_diag = jnp.asarray(a_diag_h, dtype=X.dtype)
+    diag_col = jnp.asarray(diag_col_h)
+
+    Xp, Jcp = perm_tables(X, Jc, desc_perms)
+
+    n_ti = -(-n_row_pts // tile_i)
+    n_tj = -(-n_col_pts // tile_j)
+    out = jnp.zeros(
+        (n_ti * tile_i * dim_i, n_tj * tile_j * dim_i), dtype=X.dtype
+    )
+
+    def body(out, idx):
+        ti, tj = idx // n_tj, idx % n_tj
+        i0 = row_pt0 + ti * tile_i
+        j0 = col_pt0 + tj * tile_j
+        Xi = jax.lax.dynamic_slice_in_dim(X, i0, tile_i, 0)
+        Jci = jax.lax.dynamic_slice_in_dim(Jc, i0, tile_i, 0)
+        Xjp = jax.lax.dynamic_slice_in_dim(Xp, j0, tile_j, 0)
+        Jcjp = jax.lax.dynamic_slice_in_dim(Jcp, j0, tile_j, 0)
+
+        blk = hessian_tile_compressed(
+            Xi, Jci, Xjp, Jcjp, sig, s_id, s_perm, g_idx, sgn, a_diag,
+            diag_col,
+        )
+        # Negate (A = -K) and zero padded rows/columns.
+        row_ok = jnp.repeat(i0 + jnp.arange(tile_i) < m_true, dim_i)
+        col_ok = jnp.repeat(j0 + jnp.arange(tile_j) < m_true, dim_i)
+        blk = jnp.where(
+            row_ok[:, None] & col_ok[None, :],
+            -blk.reshape(tile_i * dim_i, tile_j * dim_i),
+            0.0,
+        )
+        return (
+            jax.lax.dynamic_update_slice(
+                out, blk, (ti * tile_i * dim_i, tj * tile_j * dim_i)
+            ),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(n_ti * n_tj))
+    out = out[: n_row_pts * dim_i, : n_col_pts * dim_i]
+
+    if diag:
+        # Identity on padded diagonal entries keeps the factorization SPD.
+        pad_row = jnp.repeat(
+            row_pt0 + jnp.arange(n_row_pts) >= m_true, dim_i
+        )
+        out = out + jnp.diag(pad_row.astype(out.dtype))
+    return out
+
+
+def assemble_kernel_tree(
+    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec, dtype=jnp.float32,
+    tile_i: int | None = None, tile_j: int | None = None,
+):
+    """Assemble ``A = -K`` directly into tree-packed triangle storage
+    (ops/treechol.py) in ``dtype`` (f32 by default — the factor backs a
+    preconditioner; f64 accuracy is recovered by matrix-free refinement).
+
+    ``spec.n`` must equal ``m_pad * 3 * n_atoms`` for some padded point
+    count ``m_pad >= M``, with every split boundary a multiple of ``3N``
+    (build the spec with ``align=3 * n_atoms``).
+    """
+    dim_i = 3 * n_atoms
+    if spec.n % dim_i != 0:
+        raise ValueError('tree spec must be aligned to 3*n_atoms')
+    m = R_desc.shape[0]
+    m_pad = spec.n // dim_i
+    X = jnp.asarray(R_desc, dtype)
+    Jc = jnp.asarray(R_d_desc, dtype)
+    X = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+    Jc = jnp.pad(Jc, ((0, m_pad - m), (0, 0), (0, 0)))
+
+    n_perms = np.asarray(desc_perms).shape[0]
+    if tile_i is None or tile_j is None:
+        ti, tj = default_tile_sizes(m_pad, n_atoms, n_perms, X.dtype.itemsize)
+        tile_i = tile_i or ti
+        tile_j = tile_j or tj
+    perms_key = _perms_key(desc_perms)
+
+    def block(row_pt0, col_pt0, n_row_pts, n_col_pts, diag):
+        return _assemble_block_jit(
+            X, Jc, sig, row_pt0, col_pt0, m,
+            n_atoms=n_atoms,
+            desc_perms_key=perms_key,
+            n_row_pts=n_row_pts,
+            n_col_pts=n_col_pts,
+            tile_i=int(min(tile_i, n_row_pts)),
+            tile_j=int(min(tile_j, n_col_pts)),
+            diag=diag,
+        )
+
+    def build(sp):
+        p0 = sp.off // dim_i
+        if sp.leaf:
+            return block(p0, p0, sp.n // dim_i, sp.n // dim_i, True)
+        t1 = build(sp.left)
+        r = block(
+            sp.right.off // dim_i, p0,
+            sp.n2 // dim_i, sp.n1 // dim_i, False,
+        )
+        t2 = build(sp.right)
+        return (t1, r, t2)
+
+    return build(spec)
 
 
 @functools.partial(

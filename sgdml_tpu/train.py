@@ -329,14 +329,27 @@ class GDMLTrain:
         y = y / y_std
 
         if solver is None:
-            est_analytic = Analytic.est_memory_requirement(n_train, n_atoms)
-            use_analytic = est_analytic < self._max_memory * 1024**3
+            budget = self._max_memory * 1024**3
+            use_E_cstr = bool(task.get('use_E_cstr', False))
+            # Dense f64 for small systems; the f32 tree-packed path extends
+            # the analytic solver ~5x further in M (it stores only the
+            # triangle, in f32) but does not cover energy constraints.
+            use_analytic = (
+                Analytic.est_memory_requirement(n_train, n_atoms) < budget
+                or (
+                    not use_E_cstr
+                    and Analytic.est_memory_tree(n_train, n_atoms) < budget
+                )
+            )
             solver = 'analytic' if use_analytic else 'cg'
 
         solver_keys = {}
         if solver == 'analytic':
             log.info('Using analytic solver.')
-            analytic = Analytic(self, callback=callback, mesh=self.mesh)
+            analytic = Analytic(
+                self, callback=callback, mesh=self.mesh,
+                max_memory=self._max_memory,
+            )
             with timer.phase('solve (analytic: assembly + Cholesky)'):
                 alphas = analytic.solve(task, R_desc, R_d_desc, dperms, y)
         else:

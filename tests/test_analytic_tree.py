@@ -1,0 +1,80 @@
+"""f32 tree-packed analytic path: assembly parity + end-to-end PCG solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgdml_tpu.datasets.synthetic import generate_md_dataset
+from sgdml_tpu.ops import treechol as tc
+from sgdml_tpu.ops.descriptor import descriptor_batch
+from sgdml_tpu.ops.kernel import assemble_kernel, assemble_kernel_tree
+from sgdml_tpu.solvers.analytic import Analytic
+
+
+def _setup(m=14, n_atoms=5, seed=3):
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=m + 4, seed=seed)
+    R = ds['R'][:m].reshape(m, -1)
+    F = ds['F'][:m]
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange((n_atoms * (n_atoms - 1)) // 2)[None, :]
+    return X, Jc, dperms, F
+
+
+def test_assemble_tree_matches_dense():
+    n_atoms, m, sig = 5, 14, 4.0
+    X, Jc, dperms, _ = _setup(m, n_atoms)
+    dim_i = 3 * n_atoms
+    m_pad = 16
+    spec = tc.tree_spec(m_pad * dim_i, leaf_size=4 * dim_i, align=dim_i)
+
+    A_tree = assemble_kernel_tree(
+        X, Jc, dperms, sig, n_atoms, spec, dtype=jnp.float64
+    )
+    A_dense = tc.tree_to_dense(A_tree, spec, full=True)
+
+    K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
+    n = m * dim_i
+    np.testing.assert_allclose(A_dense[:n, :n], -K, rtol=1e-12, atol=1e-12)
+    # Padded region: identity diagonal, zero off-diagonal.
+    np.testing.assert_allclose(A_dense[n:, n:], np.eye(m_pad * dim_i - n))
+    assert np.all(A_dense[n:, :n] == 0)
+
+
+def test_assemble_tree_f32_close():
+    n_atoms, m, sig = 5, 12, 4.0
+    X, Jc, dperms, _ = _setup(m, n_atoms)
+    dim_i = 3 * n_atoms
+    spec = tc.tree_spec(m * dim_i, leaf_size=4 * dim_i, align=dim_i)
+    A_tree = assemble_kernel_tree(
+        X, Jc, dperms, sig, n_atoms, spec, dtype=jnp.float32
+    )
+    A_dense = tc.tree_to_dense(A_tree, spec, full=True)
+    K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
+    scale = np.abs(K).max()
+    assert np.max(np.abs(A_dense + K)) < 1e-5 * scale
+
+
+@pytest.mark.parametrize('use_sym', [False])
+def test_tree_pcg_matches_dense_f64_solve(use_sym):
+    """Force the tree path with a tiny memory budget; alphas must match the
+    dense f64 analytic solve to CG tolerance."""
+    n_atoms, m, sig, lam = 5, 20, 4.0, 1e-10
+    X, Jc, dperms, F = _setup(m, n_atoms)
+    y = F.reshape(-1) / np.std(F)
+
+    task = {
+        'sig': sig,
+        'lam': lam,
+        'R_train': np.zeros((m, n_atoms, 3)),
+        'use_E_cstr': False,
+    }
+
+    a_small = Analytic(max_memory=1e-9)  # everything "too big" -> tree path
+    alphas_tree = a_small.solve(task, np.asarray(X), np.asarray(Jc), dperms, y)
+    assert a_small.pcg_iters > 0
+
+    a_big = Analytic(max_memory=64)
+    alphas_dense = a_big.solve(task, np.asarray(X), np.asarray(Jc), dperms, y)
+
+    denom = np.linalg.norm(alphas_dense)
+    assert np.linalg.norm(alphas_tree - alphas_dense) / denom < 1e-6
