@@ -598,7 +598,10 @@ def _assemble_block_jit(
             None,
         )
 
-    out, _ = jax.lax.scan(body, out, jnp.arange(n_ti * n_tj))
+    # HIGHEST matmul precision: TPU default f32 dots are bf16 passes
+    # (~1e-3 relative) — far below what the f32 preconditioner needs.
+    with jax.default_matmul_precision('highest'):
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_ti * n_tj))
     out = out[: n_row_pts * dim_i, : n_col_pts * dim_i]
 
     if diag:
@@ -629,14 +632,21 @@ def assemble_kernel_tree(
     m_pad = spec.n // dim_i
     X = jnp.asarray(R_desc, dtype)
     Jc = jnp.asarray(R_d_desc, dtype)
-    X = jnp.pad(X, ((0, m_pad - m), (0, 0)))
-    Jc = jnp.pad(Jc, ((0, m_pad - m), (0, 0), (0, 0)))
 
     n_perms = np.asarray(desc_perms).shape[0]
     if tile_i is None or tile_j is None:
         ti, tj = default_tile_sizes(m_pad, n_atoms, n_perms, X.dtype.itemsize)
         tile_i = tile_i or ti
         tile_j = tile_j or tj
+
+    # Over-pad by one tile: a block's last tile may extend past the block
+    # (and past m_pad), and dynamic_slice would CLAMP the start index —
+    # computing the wrong rows but writing them at the intended offset.
+    # With the overhang present the slice never clamps; the row/col masks
+    # zero everything past the true point count.
+    m_padded = m_pad + max(int(tile_i), int(tile_j))
+    X = jnp.pad(X, ((0, m_padded - m), (0, 0)))
+    Jc = jnp.pad(Jc, ((0, m_padded - m), (0, 0), (0, 0)))
     perms_key = _perms_key(desc_perms)
 
     def block(row_pt0, col_pt0, n_row_pts, n_col_pts, diag):

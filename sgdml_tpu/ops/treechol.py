@@ -200,8 +200,14 @@ def chol_tree(T):
     The input buffers are donated (the factor overwrites the matrix, as
     LAPACK does) — do not reuse ``T`` afterwards. A failed factorization
     (not PSD at this precision) yields NaNs; check ``tree_isfinite``.
+
+    Matmul precision is pinned to HIGHEST: TPU default-precision f32 dots
+    use bf16 passes (~1e-3 relative), which destroys the factorization of
+    any moderately conditioned matrix; HIGHEST gives true-f32 products at
+    ~30 TFLOP/s on v5e — still two orders faster than emulated f64.
     """
-    return _chol(T)
+    with jax.default_matmul_precision('highest'):
+        return _chol(T)
 
 
 # -- solves ------------------------------------------------------------------
@@ -235,7 +241,8 @@ def solve_tree(L, y):
     was_vec = y.ndim == 1
     if was_vec:
         y = y[:, None]
-    x = _bwd(L, _fwd(L, y))
+    with jax.default_matmul_precision('highest'):
+        x = _bwd(L, _fwd(L, y))
     return x[:, 0] if was_vec else x
 
 
@@ -262,5 +269,6 @@ def matvec_tree(T, v):
     was_vec = v.ndim == 1
     if was_vec:
         v = v[:, None]
-    out = mv(T, v)
+    with jax.default_matmul_precision('highest'):
+        out = mv(T, v)
     return out[:, 0] if was_vec else out

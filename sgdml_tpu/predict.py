@@ -82,7 +82,36 @@ def predict_from_tables(
     Jacobians. Xt/JA: ``(T, D)`` tables. alphas_E_lin: ``(T,)`` permuted
     energy coefficients or None. Returns ``E (B,)`` and ``F (B, 3N)``.
     """
+    if Xq.dtype == jnp.float32:
+        # True-f32 products: TPU default-precision f32 matmuls use bf16
+        # passes (~1e-3 relative), which would erase the accuracy the
+        # centered Gram form buys. HIGHEST costs ~6x matmul passes but the
+        # f32 path is still ~15x faster than emulated f64.
+        with jax.default_matmul_precision('highest'):
+            return _predict_from_tables_body(
+                Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c,
+                n_atoms=n_atoms, with_forces=with_forces,
+            )
+    return _predict_from_tables_body(
+        Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c,
+        n_atoms=n_atoms, with_forces=with_forces,
+    )
+
+
+def _predict_from_tables_body(
+    Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c, *, n_atoms, with_forces
+):
     sig = jnp.asarray(sig, dtype=Xq.dtype)
+
+    # Center both sides on the table mean. Distances and differences are
+    # translation-invariant, so this is exact math — but it shrinks the
+    # magnitudes entering the Gram-identity cancellation from |x| to the
+    # descriptor cloud's spread around its mean, which is what makes the
+    # f32 fast path accurate (the raw Gram identity loses ~eps*|x|^2/u^2
+    # relative accuracy for nearby geometries).
+    mu = jnp.mean(Xt, axis=0)
+    Xq = Xq - mu[None, :]
+    Xt = Xt - mu[None, :]
 
     xq_sq = jnp.sum(Xq * Xq, axis=1)  # (B,)
     xt_sq = jnp.sum(Xt * Xt, axis=1)  # (T,)
@@ -95,7 +124,7 @@ def predict_from_tables(
     w2 = b1 * (u5 + sig)
 
     tja = jnp.sum(Xt * JA, axis=1)  # (T,)
-    a = Xq @ JA.T - tja[None, :]  # (B, T): d . (J alpha)
+    a = Xq @ JA.T - tja[None, :]  # (B, T): d . (J alpha), centering-invariant
 
     E = jnp.sum(a * w2, axis=1)
 

@@ -40,6 +40,28 @@ def test_assemble_tree_matches_dense():
     assert np.all(A_dense[n:, :n] == 0)
 
 
+def test_assemble_tree_nondividing_tiles():
+    """Edge tiles extend past blocks and past the padded point count; the
+    over-padded tables must prevent dynamic_slice start clamping (which
+    would compute wrong rows but write them at the intended offset —
+    regression: corrupted bottom rows at M=200 on TPU)."""
+    n_atoms, m, sig = 5, 20, 4.0
+    X, Jc, dperms, _ = _setup(m, n_atoms)
+    dim_i = 3 * n_atoms
+    m_pad = 24
+    spec = tc.tree_spec(m_pad * dim_i, leaf_size=6 * dim_i, align=dim_i)
+    A_tree = assemble_kernel_tree(
+        X, Jc, dperms, sig, n_atoms, spec, dtype=jnp.float64,
+        tile_i=5, tile_j=7,
+    )
+    A_dense = tc.tree_to_dense(A_tree, spec, full=True)
+    K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
+    n = m * dim_i
+    np.testing.assert_allclose(A_dense[:n, :n], -K, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(A_dense[n:, n:], np.eye(m_pad * dim_i - n))
+    assert np.all(A_dense[n:, :n] == 0)
+
+
 def test_assemble_tree_f32_close():
     n_atoms, m, sig = 5, 12, 4.0
     X, Jc, dperms, _ = _setup(m, n_atoms)
