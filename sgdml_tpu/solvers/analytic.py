@@ -42,8 +42,8 @@ from ..ops import treechol
 
 log = logging.getLogger(__name__)
 
-PCG_MAX_ITERS = 600
-PCG_RTOL = 1e-10  # relative residual target; f64-class solutions
+PCG_MAX_ITERS = 2500
+PCG_RTOL = 1e-9  # relative residual target (reference CG stops at 1e-4)
 
 
 @jax.jit
@@ -311,7 +311,12 @@ class Analytic:
         # it converges in a handful of iterations.
         L32 = None
         lam_p_used = None
-        for shift in [0.0, 3e-7, 3e-6, 3e-5, 3e-4, 3e-3]:
+        # Skip the unshifted rung when it cannot possibly succeed: an f32
+        # factorization needs the smallest eigenvalue above ~n*eps32*lmax.
+        shifts = [0.0, 3e-7, 3e-6, 3e-5, 3e-4, 3e-3]
+        if lam < 1e-7 * lmax:
+            shifts = shifts[1:]
+        for shift in shifts:
             lam_p = max(lam, shift * lmax)
             A32 = assemble_kernel_tree(
                 R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,

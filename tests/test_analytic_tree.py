@@ -98,5 +98,26 @@ def test_tree_pcg_matches_dense_f64_solve(use_sym):
     a_big = Analytic(max_memory=64)
     alphas_dense = a_big.solve(task, np.asarray(X), np.asarray(Jc), dperms, y)
 
+    # Alphas are the ill-conditioned object (cond ~ lmax/lam); what matters
+    # is parity of the PREDICTED FORCES, i.e. K @ alphas. Evaluate both
+    # through the matrix-free matvec (lam term cancels in the comparison).
+    from sgdml_tpu.solvers.iterative import _matvec_A
+
+    perms_key = (
+        np.ascontiguousarray(dperms.astype(np.int64)).tobytes(), dperms.shape
+    )
+
+    def forces(a):
+        return np.asarray(
+            _matvec_A(
+                jnp.asarray(-a), X, Jc, X, Jc, sig, 0.0,
+                n_atoms=n_atoms, desc_perms_key=perms_key, use_E_cstr=False,
+            )
+        )
+
+    f_tree, f_dense = forces(alphas_tree), forces(alphas_dense)
+    f_dev = np.linalg.norm(f_tree - f_dense) / np.linalg.norm(f_dense)
+    assert f_dev < 1e-7, f_dev
+
     denom = np.linalg.norm(alphas_dense)
-    assert np.linalg.norm(alphas_tree - alphas_dense) / denom < 1e-6
+    assert np.linalg.norm(alphas_tree - alphas_dense) / denom < 1e-3
