@@ -61,6 +61,7 @@ __all__ = [
     'assemble_kernel',
     'assemble_kernel_columns',
     'assemble_kernel_tree',
+    'assemble_kernel_grid',
 ]
 
 _SQRT5 = math.sqrt(5.0)
@@ -674,6 +675,59 @@ def assemble_kernel_tree(
         return (t1, r, t2)
 
     return build(spec)
+
+
+def assemble_kernel_grid(
+    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec, dtype=jnp.float32,
+    tile_i: int | None = None, tile_j: int | None = None,
+):
+    """Assemble ``A = -K`` into block-grid packed triangle storage
+    (ops/blockchol.py). Every block has the same shape, so exactly ONE
+    assembly program compiles regardless of system size. ``spec.b`` must
+    be a multiple of ``3 * n_atoms``."""
+    dim_i = 3 * n_atoms
+    if spec.b % dim_i != 0:
+        raise ValueError('grid blocks must be aligned to 3*n_atoms')
+    m = R_desc.shape[0]
+    m_pad = spec.n // dim_i
+    b_pts = spec.b // dim_i
+    X = jnp.asarray(R_desc, dtype)
+    Jc = jnp.asarray(R_d_desc, dtype)
+
+    n_perms = np.asarray(desc_perms).shape[0]
+    if tile_i is None or tile_j is None:
+        ti, tj = default_tile_sizes(m_pad, n_atoms, n_perms, X.dtype.itemsize)
+        tile_i = tile_i or ti
+        tile_j = tile_j or tj
+    tile_i = int(min(tile_i, b_pts))
+    tile_j = int(min(tile_j, b_pts))
+
+    # Over-pad by one tile: edge tiles may extend past m_pad, where
+    # dynamic_slice would clamp the start (wrong rows at the right offset).
+    m_padded = m_pad + max(tile_i, tile_j)
+    X = jnp.pad(X, ((0, m_padded - m), (0, 0)))
+    Jc = jnp.pad(Jc, ((0, m_padded - m), (0, 0), (0, 0)))
+    perms_key = _perms_key(desc_perms)
+
+    def block(i, j):
+        out = _assemble_block_jit(
+            X, Jc, sig, i * b_pts, j * b_pts, m,
+            n_atoms=n_atoms,
+            desc_perms_key=perms_key,
+            n_row_pts=b_pts,
+            n_col_pts=b_pts,
+            tile_i=tile_i,
+            tile_j=tile_j,
+            diag=(i == j),
+        )
+        # Throttle dispatch: each in-flight block program holds its scan
+        # scratch; an unbounded async queue of them exhausts HBM.
+        from .blockchol import sync
+
+        sync(out)
+        return out
+
+    return [[block(i, j) for j in range(i + 1)] for i in range(spec.k)]
 
 
 @functools.partial(

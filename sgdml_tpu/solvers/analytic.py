@@ -12,12 +12,13 @@ Two precision regimes, selected by the device-memory budget:
 * **f64 dense** (small systems): exact single-call factorization. TPUs
   emulate f64 (measured on v5e: 0.18 TFLOP/s Cholesky vs 13.7 in f32), so
   this path is for systems small enough that its cost is irrelevant.
-* **f32 tree-packed + refinement CG** (large systems): the triangle of
-  ``A = -K + lam' I`` is assembled straight into tree-packed f32 storage
-  (half the dense memory — on a 16 GB chip this is what makes n = 63k
-  reachable at all), factorized at f32 MXU speed, and used as the
-  preconditioner of a conjugate-gradient iteration on the TRUE f64 system
-  whose matvec is the matrix-free prediction pass (no stored matrix).
+* **f32 block-grid packed + refinement CG** (large systems): the triangle
+  of ``A = -K + lam' I`` is assembled straight into block-grid f32 storage
+  (ops/blockchol.py; half the dense memory — on a 16 GB chip this is what
+  makes n = 63k reachable at all), factorized at f32 MXU speed by a
+  host-sequenced blocked Cholesky, and used as the preconditioner of a
+  conjugate-gradient iteration on the TRUE f64 system whose matvec is the
+  matrix-free prediction pass (no stored matrix).
   ``lam'`` is auto-raised just enough for the f32 factorization to stay
   positive (ladder), which bounds the preconditioned condition number by
   ``lam'/lam`` — convergence is guaranteed for any original conditioning,
@@ -37,8 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.kernel import assemble_kernel, assemble_kernel_tree
-from ..ops import treechol
+from ..ops.kernel import assemble_kernel, assemble_kernel_grid
+from ..ops import blockchol
 
 log = logging.getLogger(__name__)
 
@@ -103,7 +104,7 @@ def _pcg_chol(
     L32, X, Jc, y, sig, lam, rtol, *, n_atoms, desc_perms_key, max_iters
 ):
     """Conjugate gradients on the f64 system ``(-K + lam I) x = y`` with a
-    tree-packed f32 Cholesky preconditioner.
+    block-grid f32 Cholesky preconditioner.
 
     The matvec is the matrix-free f64 prediction pass (exact system); the
     preconditioner application is two f32 triangular solves. Returns
@@ -112,7 +113,7 @@ def _pcg_chol(
     from .iterative import _matvec_A
 
     n = y.shape[0]
-    n_pad = treechol_n(L32)
+    n_pad = len(L32) * L32[0][0].shape[0]
 
     def A_apply(v):
         return _matvec_A(
@@ -124,7 +125,7 @@ def _pcg_chol(
     def M_apply(v):
         vp = jnp.zeros((n_pad,), dtype=jnp.float32)
         vp = jax.lax.dynamic_update_slice(vp, v.astype(jnp.float32), (0,))
-        return treechol.solve_tree(L32, vp)[:n].astype(v.dtype)
+        return blockchol.solve_grid(L32, vp)[:n].astype(v.dtype)
 
     b_norm = jnp.linalg.norm(y)
 
@@ -152,14 +153,6 @@ def _pcg_chol(
         cond, body, (x0, r0, z0, z0, r0 @ z0, 0)
     )
     return x, it, jnp.linalg.norm(r)
-
-
-def treechol_n(L):
-    """Row count spanned by a tree-packed triangle."""
-    if not isinstance(L, tuple):
-        return L.shape[0]
-    _, r, _ = L
-    return r.shape[1] + treechol_n(L[2])
 
 
 class Analytic:
@@ -278,14 +271,13 @@ class Analytic:
     def _solve_tree_pcg(
         self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
     ):
-        """Large-system closed-form solve: f32 tree-packed Cholesky
+        """Large-system closed-form solve: f32 block-grid Cholesky
         preconditioner + f64 matrix-free refinement CG (module docstring)."""
         dim_i = 3 * n_atoms
         m = R_desc.shape[0]
         m_pad = -(-m // 8) * 8
-        leaf_pts = max(8, min(32, m_pad))
-        spec = treechol.tree_spec(
-            m_pad * dim_i, leaf_size=leaf_pts * dim_i, align=dim_i
+        spec = blockchol.grid_spec(
+            m_pad * dim_i, target_block=8192, align=dim_i
         )
 
         X64 = jnp.asarray(R_desc)
@@ -318,25 +310,25 @@ class Analytic:
             shifts = shifts[1:]
         for shift in shifts:
             lam_p = max(lam, shift * lmax)
-            A32 = assemble_kernel_tree(
+            A32 = assemble_kernel_grid(
                 R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,
                 dtype=jnp.float32,
             )
-            A32 = treechol.tree_diag_add(A32, jnp.float32(lam_p))
-            L = treechol.chol_tree(A32)
-            if bool(treechol.tree_isfinite(L)):
+            A32 = blockchol.grid_diag_add(A32, jnp.float32(lam_p))
+            L = blockchol.chol_grid(A32)
+            if bool(blockchol.grid_isfinite(L)):
                 L32, lam_p_used = L, lam_p
                 break
             del L
         if L32 is None:
             raise RuntimeError(
-                'f32 tree Cholesky failed even with a strong diagonal '
+                'f32 block Cholesky failed even with a strong diagonal '
                 'shift; the kernel matrix is numerically degenerate. '
                 'Try a different sigma.'
             )
         t_assemble = timeit.default_timer() - t0
         log.info(
-            'Assembled+factorized %dx%d f32 tree triangle in %.2f s '
+            'Assembled+factorized %dx%d f32 packed triangle in %.2f s '
             '(lmax=%.3e, lam\'=%g%s).',
             spec.n, spec.n, t_assemble, lmax, lam_p_used,
             '' if lam_p_used == lam else ' [shifted for f32 stability]',
@@ -378,7 +370,7 @@ class Analytic:
 
     @staticmethod
     def est_memory_tree(n_train, n_atoms):
-        """Bytes needed on device for the f32 tree-packed path: packed
+        """Bytes needed on device for the f32 packed-triangle path: packed
         triangle (n^2/2 f32) + top-level rectangle transients (~n^2/4)."""
         n = (-(-n_train // 8) * 8) * 3 * n_atoms
         return 3 * n**2  # (2 + 1) * n^2 bytes
