@@ -113,11 +113,43 @@ def _chol_blk(a):
         return jnp.linalg.cholesky(a)
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _rsolve_blk(l, b):
-    """B <- B @ L^{-T}."""
-    with jax.default_matmul_precision('highest'):
-        return jax.scipy.linalg.solve_triangular(l, b.T, lower=True).T
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('q',))
+def _rsolve_blk(l, b, q=None):
+    """B <- B @ L^{-T} by blocked forward substitution over column panels.
+
+    XLA:TPU's one-shot TriangularSolve transiently demands ~n^2-scale
+    workspace at (8k, 8k) (measured: an ~8 GB spike for a 248 MB solve),
+    which OOMs exactly when the packed matrix already fills HBM. The
+    panel loop keeps temporaries at O(n*q): one masked full-width GEMM
+    per panel (columns right of the panel are zero in L, columns left
+    already hold the solution) plus a (q, q) triangular solve.
+    """
+    n = l.shape[0]
+    if q is None:
+        q = _largest_divisor(n, 512)
+    n_pan = n // q
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def body(p, b_):
+        c0 = p * q
+        lpp = jax.lax.dynamic_slice(l, (c0, c0), (q, q))
+        lrow = jax.lax.dynamic_slice(l, (c0, 0), (q, n))  # L[panel, :]
+        # Keep only columns strictly left of the panel (solved already).
+        lrow = jnp.where(col < c0, lrow, 0.0)
+        bp = jax.lax.dynamic_slice(b_, (0, c0), (n, q))
+        with jax.default_matmul_precision('highest'):
+            rhs = bp - jnp.einsum('nc,pc->np', b_, lrow)
+            xp = jax.scipy.linalg.solve_triangular(lpp, rhs.T, lower=True).T
+        return jax.lax.dynamic_update_slice(b_, xp, (0, c0))
+
+    return jax.lax.fori_loop(0, n_pan, body, b)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -192,7 +224,10 @@ def solve_grid(L, y):
         for j in reversed(range(k)):
             rhs = z[j]
             for r in range(j + 1, k):
-                rhs = rhs - L[r][j].T @ x[r]
+                # einsum contracting the FIRST axis — `.T @` inside a CG
+                # while_loop would be hoisted by XLA into persistent
+                # transposed copies of every off-diagonal block.
+                rhs = rhs - jnp.einsum('rc,rm->cm', L[r][j], x[r])
             x[j] = jax.scipy.linalg.solve_triangular(
                 L[j][j], rhs, lower=True, trans='T'
             )
@@ -215,9 +250,13 @@ def matvec_grid(G, v):
                 blk = G[i][j]
                 if i == j:
                     lo = jnp.tril(blk)
-                    out[i] = out[i] + lo @ vb[i] + jnp.tril(blk, -1).T @ vb[i]
+                    out[i] = (
+                        out[i]
+                        + lo @ vb[i]
+                        + jnp.einsum('rc,rm->cm', jnp.tril(blk, -1), vb[i])
+                    )
                 else:
                     out[i] = out[i] + blk @ vb[j]
-                    out[j] = out[j] + blk.T @ vb[i]
+                    out[j] = out[j] + jnp.einsum('rc,rm->cm', blk, vb[i])
     res = jnp.concatenate(out, axis=0)
     return res[:, 0] if was_vec else res

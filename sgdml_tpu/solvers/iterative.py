@@ -124,8 +124,13 @@ def _pcg_chunk(
     def M_apply(v):
         # Fp may be zero-padded along its column axis to a device-count
         # multiple (padded columns contribute nothing to the correction).
+        # The second contraction is written as an einsum over the k-axis
+        # (NOT Fp.T @ ...): a transpose inside the while_loop would be
+        # hoisted by XLA into a persistent transposed copy of the factor —
+        # doubling the solver's dominant memory term.
         vp = jnp.pad(v, (0, Fp.shape[1] - v.shape[0])).astype(Fp.dtype)
-        corr = (Fp.T @ (Fp @ vp)).astype(v.dtype)[: v.shape[0]]
+        w = Fp @ vp
+        corr = jnp.einsum('kn,k->n', Fp, w).astype(v.dtype)[: v.shape[0]]
         return (v - corr) / lam
 
     def A_apply(v):
@@ -454,9 +459,10 @@ class Iterative:
             )
             r = b - A_apply(x)
             rp = jnp.pad(r, (0, Fp_cur.shape[1] - r.shape[0]))
-            corr = (Fp_cur.T @ (Fp_cur @ rp.astype(Fp_cur.dtype)))[
-                : r.shape[0]
-            ].astype(r.dtype)
+            w = Fp_cur @ rp.astype(Fp_cur.dtype)
+            corr = jnp.einsum('kn,k->n', Fp_cur, w)[: r.shape[0]].astype(
+                r.dtype
+            )
             z = (r - corr) / lam
             rz = r @ z
             return (x, r, z, z, rz, 0, jnp.zeros(CG_CHUNK_ITERS))
