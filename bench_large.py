@@ -84,6 +84,44 @@ def bench_atat():
     print(json.dumps(out))
 
 
+def bench_atat3000():
+    """MD22 AT-AT scale: N=60, M=3000 iterative training end-to-end
+    (reference: sgdml/solvers/iterative.py:473-825; README.md:129-132)."""
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+
+    ds = generate_md_dataset(n_atoms=60, n_frames=3600, seed=11)
+    task, model, t_train = _train(ds, 3000, sig=25.0, solver='cg')
+    mae, scale = _force_mae(ds, task, model, n_test=300)
+    out = {
+        'config': 'MD22 AT-AT-sized N=60 M=3000 iterative (Nystrom-pCG)',
+        'train_s': round(t_train, 2),
+        'cg_iters': int(model.get('solver_iters', -1)),
+        'converged': bool(
+            model['solver_resid'] <= model['solver_tol'] * model['norm_y_train']
+        ),
+        'force_mae': round(mae, 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
+def bench_aspirin_analytic():
+    """Aspirin-sized M=1000 ANALYTIC training (f32 block-grid + refinement
+    CG) — the config dense f64 can never reach on a 16 GB chip."""
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+
+    ds = generate_md_dataset(n_atoms=21, n_frames=1600, seed=10)
+    task, model, t_train = _train(ds, 1000, sig=20.0, solver='analytic')
+    mae, scale = _force_mae(ds, task, model)
+    out = {
+        'config': 'aspirin-sized N=21 M=1000 analytic (f32 grid + refine-CG)',
+        'train_s': round(t_train, 2),
+        'force_mae': round(mae, 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
 def bench_sym():
     from sgdml_tpu.datasets.synthetic import generate_symmetric_md_dataset
     from sgdml_tpu import perm as perm_mod
@@ -140,7 +178,9 @@ if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'sym'
     {
         'aspirin': bench_aspirin,
+        'aspirin_analytic': bench_aspirin_analytic,
         'atat': bench_atat,
+        'atat3000': bench_atat3000,
         'sym': bench_sym,
         'md': bench_md,
     }[which]()

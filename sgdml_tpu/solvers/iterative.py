@@ -646,8 +646,11 @@ class Iterative:
     def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes):
         """Inducing-point budget (reference formula: iterative.py:827-844),
         additionally capped so the preconditioner factor's TPU f64-split
-        working set (~32 bytes per element of the (k, n) factor, measured)
-        stays within ~40% of the budget."""
+        working set stays within ~40% of the budget. Round 1 measured
+        ~32 B per element of the (k, n) factor: 8 B storage + an f32-split
+        staging copy + the same again for a loop-hoisted TRANSPOSED copy.
+        The Woodbury apply now contracts the k-axis without a transpose,
+        halving that to ~16 B."""
         sq, lin = 5, 4
         dim_i = 3 * n_atoms
         to_dof = dim_i**2 * 8
@@ -658,7 +661,7 @@ class Iterative:
         ) / (2 * ny_factor)
 
         n = n_train * dim_i
-        split_budget_elems = 0.4 * max_memory_bytes / 32.0
+        split_budget_elems = 0.4 * max_memory_bytes / 16.0
         n_ind_split_cap = split_budget_elems / (n * dim_i)
         return max(1, min(int(n_ind), int(n_ind_split_cap), n_train))
 
