@@ -98,17 +98,20 @@ def _lmax_power(X, Jc, sig, lam, *, n_atoms, desc_perms_key, iters=12):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('n_atoms', 'desc_perms_key', 'max_iters'),
+    static_argnames=('n_atoms', 'desc_perms_key', 'max_iters', 'init'),
 )
 def _pcg_chol(
-    L32, X, Jc, y, sig, lam, rtol, *, n_atoms, desc_perms_key, max_iters
+    state, L32, X, Jc, y, sig, lam, rtol,
+    *, n_atoms, desc_perms_key, max_iters, init=False,
 ):
-    """Conjugate gradients on the f64 system ``(-K + lam I) x = y`` with a
-    block-grid f32 Cholesky preconditioner.
+    """One chunk of conjugate gradients on the f64 system
+    ``(-K + lam I) x = y`` with a block-grid f32 Cholesky preconditioner.
 
     The matvec is the matrix-free f64 prediction pass (exact system); the
-    preconditioner application is two f32 triangular solves. Returns
-    ``(x, n_iters, resid_norm)``.
+    preconditioner application is block-triangular f32 solves. With
+    ``init`` the state is built from scratch (pass ``state=None``); the
+    per-chunk iteration counter restarts at 0, so the host driver can loop
+    chunks with progress logging. Returns ``(state, resid_norm)``.
     """
     from .iterative import _matvec_A
 
@@ -146,13 +149,15 @@ def _pcg_chol(
         p = z + beta * p
         return (x, r, z, p, rz_new, it + 1)
 
-    x0 = jnp.zeros_like(y)
-    r0 = y
-    z0 = M_apply(r0)
-    x, r, _, _, _, it = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, r0 @ z0, 0)
-    )
-    return x, it, jnp.linalg.norm(r)
+    if init:
+        x0 = jnp.zeros_like(y)
+        z0 = M_apply(y)
+        state = (x0, y, z0, z0, y @ z0, 0)
+    else:
+        x, r, z, p, rz, _ = state
+        state = (x, r, z, p, rz, 0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out, jnp.linalg.norm(out[1])
 
 
 class Analytic:
@@ -335,19 +340,26 @@ class Analytic:
         )
 
         t0 = timeit.default_timer()
-        x, iters, resid = _pcg_chol(
-            L32, X64, Jc64, y_dev, sig, lam, PCG_RTOL,
-            n_atoms=n_atoms, desc_perms_key=perms_key,
-            max_iters=PCG_MAX_ITERS,
-        )
-        x.block_until_ready()
+        b_norm = max(float(np.linalg.norm(y)), 1e-300)
+        state, iters, rel = None, 0, 1.0
+        chunk = 250
+        for _ in range(-(-PCG_MAX_ITERS // chunk)):
+            state, resid = _pcg_chol(
+                state, L32, X64, Jc64, y_dev, sig, lam, PCG_RTOL,
+                n_atoms=n_atoms, desc_perms_key=perms_key,
+                max_iters=chunk, init=state is None,
+            )
+            it_done = int(state[5])  # host sync per chunk
+            iters += it_done
+            rel = float(resid) / b_norm
+            log.info(
+                'Refinement CG: %d iterations, relative residual %.2e '
+                '(%.1f s).', iters, rel, timeit.default_timer() - t0,
+            )
+            if rel <= PCG_RTOL or it_done < chunk:
+                break
+        x = state[0]
         t_solve = timeit.default_timer() - t0
-        resid, iters = float(resid), int(iters)
-        rel = resid / max(float(np.linalg.norm(y)), 1e-300)
-        log.info(
-            'Refinement CG: %d iterations to relative residual %.2e '
-            'in %.2f s.', iters, rel, t_solve,
-        )
         if rel > 1e-6:
             log.warning(
                 'Refinement CG stopped at relative residual %.2e (target '
