@@ -840,9 +840,18 @@ def assemble_kernel_columns(
     (columns remain force columns — a valid PSD preconditioner basis for
     the extended system)."""
     m = R_desc.shape[0]
+    n_atoms_i = int(n_atoms)
+    n_cols = int(np.asarray(col_3n_idxs).shape[0])
+    itemsize = np.dtype(np.asarray(R_desc).dtype).itemsize
+    # XLA fuses the Ji-construction einsum into the Gram contraction,
+    # staging (tile_i, N, C, P, 3N)-shaped temporaries. Cap tile_i so a
+    # few such buffers stay ~1.5 GB (measured 49 GB compile-OOM at
+    # N=60, C=540, tile_i=60 without this).
+    per_row = 3 * n_atoms_i * n_cols * 3 * n_atoms_i * itemsize
+    tile_cap = max(1, int(1.5e9 // max(per_row, 1)))
+    tile_i = min(tile_i, m, tile_cap)
     # Prefer a tile size that divides M exactly: padding would force a
     # full-matrix copy at the end (the peak allocation of this routine).
-    tile_i = min(tile_i, m)
     while m % tile_i != 0 and tile_i > 1:
         tile_i -= 1
     return _assemble_columns_jit(
