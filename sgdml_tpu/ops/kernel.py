@@ -769,12 +769,17 @@ def _assemble_columns_jit(
     # Tables for the column points, gathered once: (C, P, D) / (C, P, D, 3).
     Xjp = Xp[col_j]
     Jcjp = Jcp[col_j]
-    # Full permuted Jacobians restricted to the single partial q per column:
-    # J_t[:, q] is a (D,) vector per (column, perm).
-    Jt_full = expand_perm_jacobian(Jcjp, s_perm)  # (C, P, D, 3N)
-    Jt_col = jnp.take_along_axis(
-        Jt_full, col_q[:, None, None, None], axis=3
+    # Permuted Jacobian restricted to the single partial q = (atom, xyz)
+    # per column, via the incidence factorization J[d, 3n+y] =
+    # s_perm[p,d,n] * Jc[p,d,y] — materializing the full (C, P, D, 3N)
+    # Jacobians first costs 11 GB at MD22 scale (measured OOM).
+    atom_q = col_q // 3
+    xyz_q = col_q % 3
+    s_sel = jnp.take(s_perm, atom_q, axis=2).transpose(2, 0, 1)  # (C, P, D)
+    j_sel = jnp.take_along_axis(
+        Jcjp, xyz_q[:, None, None, None], axis=3
     ).squeeze(3)  # (C, P, D)
+    Jt_col = s_sel * j_sel
 
     n_ti = -(-m // tile_i)
     m_pad = n_ti * tile_i

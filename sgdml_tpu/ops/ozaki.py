@@ -1,0 +1,167 @@
+"""Ozaki-scheme exact-accumulation GEMM on the int8 MXU.
+
+The TPU's int8 systolic path runs at ~12x the f32-HIGHEST rate and ~180x
+the emulated-f64 rate (measured, BENCH_NOTES.md), and — unlike every
+float mode — accumulates in int32 **exactly**. The Ozaki scheme exploits
+this: split each operand row into power-of-two-scaled int8 mantissa
+slices, multiply slice pairs on the MXU (each product exact), and
+recombine the level sums with their scales in f64. The result is a
+matmul with ~``q * n_slices``-bit effective mantissas whose only error
+is the a-priori-bounded slice truncation — no accumulation-order noise,
+no sqrt(K) error growth.
+
+This backs the pair-precision block Cholesky (ops/pairchol.py) that
+replaces an emulated-f64 factorization; the reference counterpart of
+that solver stack is scipy ``cho_factor`` on a dense f64 host matrix
+(sgdml/solvers/analytic.py:94-99).
+
+Operands are "pair floats": ``(hi, lo)`` with ``hi`` f32 and ``lo`` a
+lower-precision correction (f32, bf16, or None), representing
+``hi + lo`` at up to ~47 significant bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    'DEFAULT_SLICES',
+    'Q_BITS',
+    'split_pair_int8',
+    'ozaki_gemm_nt',
+    'max_contraction_dim',
+]
+
+# q bits of mantissa per int8 slice. q=6 keeps |first slice| <= 64 and
+# |later slices| <= 32, so any slice-pair product is <= 2^12 and an
+# int32 level accumulation over K terms stays exact for K <= 2^18.
+Q_BITS = 6
+# 7 slices = 42-bit coverage below the row scale. Elements down to
+# 2^-9 of their row max keep every bit a (f32, f32-or-bf16) pair
+# carries; smaller elements truncate at 2^-42 of the row scale, so a
+# K-length dot accumulates only ~sqrt(K) * 2^-42 incoherent truncation
+# noise (measured: sqrt(K) * 2^-37 at 6 slices — one slice below the
+# pair-storage floor costs 28 vs 21 MXU products and buys 5 bits).
+DEFAULT_SLICES = 7
+
+_INT32_MAX = 2**31
+
+
+def max_contraction_dim(n_slices: int = DEFAULT_SLICES, q: int = Q_BITS):
+    """Largest inner dimension with provably exact int32 level sums.
+
+    Slice values are bounded by ``2^q`` except the first lo-continuation
+    slice, which carries the folded-in lo part and can reach ``1.5 *
+    2^q``; the guard uses the worst product ``(1.5 * 2^q)^2``."""
+    worst = int(1.5 * 2**q) ** 2
+    return _INT32_MAX // (n_slices * worst)
+
+
+def _row_scale(hi):
+    """Per-row power-of-two scale sigma >= max|row| (exact in f32)."""
+    rowmax = jnp.max(jnp.abs(hi), axis=1, keepdims=True)
+    _, e = jnp.frexp(jnp.maximum(rowmax, jnp.finfo(jnp.float32).tiny))
+    return jnp.exp2(e.astype(jnp.float32))  # 2^e >= rowmax, power of two
+
+
+def _extract_slices(t, n, q):
+    """n int8 slices of t in [-1, 1]; slice s has weight 2^-q(s+1).
+
+    All arithmetic is exact in f32: t * 2^q is a power-of-two scaling,
+    the rounded value is a small integer, and their difference fits the
+    mantissa (|t * 2^q - round| <= 0.5 with <= 17 significant bits).
+    """
+    out = []
+    two_q = jnp.float32(2.0**q)
+    for _ in range(n):
+        v = jnp.round(t * two_q)
+        out.append(v.astype(jnp.int8))
+        t = t * two_q - v
+    return out, t
+
+
+def split_pair_int8(hi, lo=None, n_slices: int = DEFAULT_SLICES,
+                    q: int = Q_BITS):
+    """Slice a pair-float matrix ``(m, k)`` along its last (contraction)
+    axis into ``n_slices`` row-scaled int8 mantissa planes.
+
+    Returns ``(slices, sigma)``: ``slices`` is ``(n_slices, m, k)`` int8,
+    ``sigma`` is ``(m, 1)`` f32 powers of two, and
+
+        hi + lo  ~=  sigma * sum_s slices[s] * 2^{-q (s+1)}
+
+    with truncation error below ``sigma * 2^{-q * n_slices}`` per entry.
+    The first four slices (q=6) reproduce an f32 ``hi`` exactly; ``lo``
+    is folded into the residual stream for the remaining slices.
+    """
+    hi = hi.astype(jnp.float32)
+    sigma = _row_scale(hi)
+    t = hi / sigma
+    n_hi = min(n_slices, 4)
+    slices, t = _extract_slices(t, n_hi, q)
+    if n_slices > n_hi:
+        if lo is not None:
+            # The residual stream is pre-scaled by 2^{q n_hi}; bring lo
+            # to the same scale before folding it in (|lo| <= ulp(hi)/2,
+            # so the sum stays within [-1.5, 1.5]).
+            t = t + (lo.astype(jnp.float32) / sigma) * jnp.float32(
+                2.0 ** (q * n_hi)
+            )
+        more, _ = _extract_slices(t, n_slices - n_hi, q)
+        slices += more
+    return jnp.stack(slices), sigma
+
+
+@functools.partial(
+    jax.jit, static_argnames=('q', 'out_dtype', 'precision_levels')
+)
+def _gemm_from_slices(sa, siga, sb, sigb, *, q, out_dtype,
+                      precision_levels):
+    n_slices = sa.shape[0]
+    levels = [None] * precision_levels
+    for i in range(n_slices):
+        for j in range(n_slices):
+            lv = i + j
+            if lv >= precision_levels:
+                continue
+            p = jax.lax.dot_general(
+                sa[i], sb[j],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            levels[lv] = p if levels[lv] is None else levels[lv] + p
+    acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
+    for lv in reversed(range(precision_levels)):
+        if levels[lv] is not None:
+            acc = acc + levels[lv].astype(jnp.float64) * (
+                2.0 ** (-q * (lv + 2))
+            )
+    out = acc * siga.astype(jnp.float64) * sigb.astype(jnp.float64).T
+    return out.astype(out_dtype)
+
+
+def ozaki_gemm_nt(a, b, *, n_slices: int = DEFAULT_SLICES, q: int = Q_BITS,
+                  out_dtype=jnp.float64, lo_a=None, lo_b=None):
+    """``(a + lo_a) @ (b + lo_b).T`` via exact int8 slice products.
+
+    a, b: ``(m, k)`` / ``(n, k)`` f32 (or f64, rounded to pair form by the
+    caller). Keeps product levels ``i + j < n_slices`` — truncation error
+    ~``2^{-q(n_slices+1)} * sigma_a * sigma_b`` per entry. The int8
+    matmuls accumulate exactly in int32 (requires
+    ``k <= max_contraction_dim()``, ~= 130k at the defaults).
+    """
+    k = a.shape[1]
+    if k > max_contraction_dim(n_slices, q):
+        raise ValueError(
+            f'contraction dim {k} overflows exact int32 accumulation'
+        )
+    sa, siga = split_pair_int8(a, lo_a, n_slices, q)
+    sb, sigb = split_pair_int8(b, lo_b, n_slices, q)
+    return _gemm_from_slices(
+        sa, siga, sb, sigb, q=q, out_dtype=out_dtype,
+        precision_levels=n_slices,
+    )

@@ -1,0 +1,241 @@
+"""Pair-precision (f32 + bf16) block Cholesky with exact int8 GEMM updates.
+
+Why this exists: the f32 block-grid factorization (ops/blockchol.py) is
+floored by f32 *storage* of the factor — ``||L~ L~^T - A|| ~ 2 eps32
+||A||`` — which forces the preconditioner shift ``lam' >= ~3e-7 lmax``
+and hence ~1600 refinement-CG iterations at lam=1e-10 (measured,
+BENCH_NOTES.md). Emulated f64 runs at 2 TFLOP/s / 0.18 TFLOP/s (matmul /
+Cholesky) on this chip and the dense f64 matrix would not fit HBM anyway.
+
+This module stores every block as a **pair float** ``hi (f32) + lo
+(bf16)`` — ~33 significant bits at 6 B/element (vs 8 for f64) — and
+factorizes with errors at the pair-storage floor:
+
+* trailing updates ``C -= L_rj L_cj^T`` via the Ozaki int8-slice GEMM
+  (ops/ozaki.py): exact int32 accumulation, no sqrt(K) error growth,
+  ~12x the emulated-f64 rate;
+* diagonal leaf Cholesky in true f64 (small: one ``(b, b)`` block);
+* panel solves by f32 substitution + Ozaki-residual iterative
+  refinement (convergence factor ``eps32 * cond(L_jj)``);
+* the CG-time preconditioner application keeps pair precision by
+  converting blocks to f64 on the fly and applying precomputed **f64
+  leaf inverses** (no sequential leaf triangular solves on the hot
+  path). The application must be pair-accurate: an f32-applied factor
+  would re-introduce the 2 eps32 ||A|| floor regardless of how well L
+  was computed.
+
+Everything is host-sequenced like blockchol (a handful of compiled
+program shapes, donated blocks); the solve is called once per CG
+iteration from a host loop — inside a ``while_loop`` XLA would hoist
+the loop-invariant pair->f64 conversions into ~16 GB of persistent f64
+copies.
+
+Reference counterpart: scipy ``cho_factor/cho_solve`` on a dense f64
+host matrix (sgdml/solvers/analytic.py:94-99).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ozaki
+from .blockchol import sync
+
+__all__ = [
+    'pair_split',
+    'pair_to_f64',
+    'grid_pair_from_f32',
+    'chol_grid_pair',
+    'leaf_inverses',
+    'solve_grid_pair',
+    'grid_pair_isfinite',
+]
+
+LO_DTYPE = jnp.bfloat16
+N_REFINE = 3  # panel-solve refinement rounds: err ~ (eps32 k(L_jj))^4
+
+
+def pair_split(x64, lo_dtype=LO_DTYPE):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(lo_dtype)
+    return hi, lo
+
+
+def pair_to_f64(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def grid_pair_from_f32(G32):
+    """Wrap an f32 block grid (e.g. assemble_kernel_grid output) as a
+    pair grid with zero lo parts."""
+    hi = [[blk for blk in row] for row in G32]
+    lo = [
+        [jnp.zeros(blk.shape, LO_DTYPE) for blk in row] for row in G32
+    ]
+    return hi, lo
+
+
+def grid_pair_from_dense64(A64, spec):
+    """Pair grid (lower triangle) from a dense f64 array (tests/tools)."""
+    b = spec.b
+    hi, lo = [], []
+    for i in range(spec.k):
+        hr, lr = [], []
+        for j in range(i + 1):
+            blk = jnp.asarray(A64[i * b : (i + 1) * b, j * b : (j + 1) * b])
+            h, l = pair_split(blk)
+            hr.append(h)
+            lr.append(l)
+        hi.append(hr)
+        lo.append(lr)
+    return hi, lo
+
+
+def grid_pair_isfinite(Ghi):
+    ok = jnp.bool_(True)
+    for row in Ghi:
+        for blk in row:
+            ok = ok & jnp.all(jnp.isfinite(blk))
+    return ok
+
+
+# -- per-block kernels (host-sequenced; few program shapes) ------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _diag_chol_pair(a_hi, a_lo):
+    L64 = jnp.linalg.cholesky(pair_to_f64(a_hi, a_lo))
+    return pair_split(L64)
+
+
+def _rsolve_f32(l, b, q=None):
+    """Inline (traceable) version of blockchol._rsolve_blk's math."""
+    n = l.shape[0]
+    if q is None:
+        q = _largest_divisor(n, 512)
+    n_pan = n // q
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def body(p, b_):
+        c0 = p * q
+        lpp = jax.lax.dynamic_slice(l, (c0, c0), (q, q))
+        lrow = jax.lax.dynamic_slice(l, (c0, 0), (q, n))
+        lrow = jnp.where(col < c0, lrow, 0.0)
+        bp = jax.lax.dynamic_slice(b_, (0, c0), (b_.shape[0], q))
+        with jax.default_matmul_precision('highest'):
+            rhs = bp - jnp.einsum('nc,pc->np', b_, lrow)
+            xp = jax.scipy.linalg.solve_triangular(lpp, rhs.T, lower=True).T
+        return jax.lax.dynamic_update_slice(b_, xp, (0, c0))
+
+    return jax.lax.fori_loop(0, n_pan, body, b)
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3))
+def _panel_refine_pair(l_hi, l_lo, a_hi, a_lo):
+    """X = A L_jj^{-T} at pair accuracy via refined f32 substitution."""
+    a64 = pair_to_f64(a_hi, a_lo)
+    x64 = _rsolve_f32(l_hi, a_hi).astype(jnp.float64)
+    for _ in range(N_REFINE):
+        xh, xl = pair_split(x64, jnp.float32)
+        r64 = a64 - ozaki.ozaki_gemm_nt(xh, l_hi, lo_a=xl, lo_b=l_lo)
+        dx = _rsolve_f32(l_hi, r64.astype(jnp.float32))
+        x64 = x64 + dx.astype(jnp.float64)
+    return pair_split(x64)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _trailing_update_pair(c_hi, c_lo, a_hi, a_lo, b_hi, b_lo):
+    """C <- C - A @ B^T in pair precision (Ozaki product)."""
+    p64 = ozaki.ozaki_gemm_nt(a_hi, b_hi, lo_a=a_lo, lo_b=b_lo)
+    c64 = pair_to_f64(c_hi, c_lo) - p64
+    return pair_split(c64)
+
+
+@jax.jit
+def _leaf_inv(l_hi, l_lo):
+    """Dense f64 inverse of a leaf triangular factor (one-time)."""
+    L64 = pair_to_f64(l_hi, l_lo)
+    eye = jnp.eye(L64.shape[0], dtype=jnp.float64)
+    return jax.scipy.linalg.solve_triangular(L64, eye, lower=True)
+
+
+def chol_grid_pair(Ghi, Glo, sync_every: int = 16):
+    """Right-looking blocked Cholesky over a pair grid (host-sequenced).
+
+    Consumes ``(Ghi, Glo)`` (blocks donated at their factorization /
+    update step); returns the factor in the same layout. Failure (not
+    SPD at pair precision) yields NaNs in the hi parts — check
+    :func:`grid_pair_isfinite`.
+    """
+    k = len(Ghi)
+    Lh = [list(row) for row in Ghi]
+    Ll = [list(row) for row in Glo]
+    pending = 0
+    for j in range(k):
+        Lh[j][j], Ll[j][j] = _diag_chol_pair(Lh[j][j], Ll[j][j])
+        for i in range(j + 1, k):
+            Lh[i][j], Ll[i][j] = _panel_refine_pair(
+                Lh[j][j], Ll[j][j], Lh[i][j], Ll[i][j]
+            )
+        for c in range(j + 1, k):
+            for r in range(c, k):
+                Lh[r][c], Ll[r][c] = _trailing_update_pair(
+                    Lh[r][c], Ll[r][c],
+                    Lh[r][j], Ll[r][j], Lh[c][j], Ll[c][j],
+                )
+                pending += 1
+                if pending >= sync_every:
+                    sync(Lh[r][c])
+                    pending = 0
+        sync(Lh[j][j])
+    return Lh, Ll
+
+
+def leaf_inverses(Lh, Ll):
+    """Precompute f64 inverses of the diagonal leaf factors; the caller
+    may drop the diagonal pair blocks afterwards (the solve only needs
+    off-diagonal pairs + these inverses)."""
+    return [_leaf_inv(Lh[j][j], Ll[j][j]) for j in range(len(Lh))]
+
+
+def solve_grid_pair(Lh, Ll, Dinv, y):
+    """Solve ``(L L^T) x = y`` at pair accuracy. Pure function — called
+    once per CG iteration from a *host* loop (see module docstring for
+    why not inside a while_loop). ``Dinv`` are f64 leaf inverses."""
+    k = len(Lh)
+    b = Lh[0][0].shape[0]
+    was_vec = y.ndim == 1
+    if was_vec:
+        y = y[:, None]
+    yb = [
+        jax.lax.dynamic_slice_in_dim(y, i * b, b, 0).astype(jnp.float64)
+        for i in range(k)
+    ]
+    z = []
+    for j in range(k):
+        rhs = yb[j]
+        for c in range(j):
+            rhs = rhs - pair_to_f64(Lh[j][c], Ll[j][c]) @ z[c]
+        z.append(Dinv[j] @ rhs)
+    x = [None] * k
+    for j in reversed(range(k)):
+        rhs = z[j]
+        for r in range(j + 1, k):
+            # Contract the FIRST axis (no persistent transposed copies).
+            rhs = rhs - jnp.einsum(
+                'rc,rm->cm', pair_to_f64(Lh[r][j], Ll[r][j]), x[r]
+            )
+        x[j] = Dinv[j].T @ rhs
+    out = jnp.concatenate(x, axis=0)
+    return out[:, 0] if was_vec else out

@@ -101,6 +101,48 @@ def _matvec_A(
     return -pred + lam * v
 
 
+_MV_CHUNK = 12288  # max columns per f64 factor-matvec chunk
+
+
+def _factor_mv_chunk(n: int) -> int:
+    """Column chunk for the Woodbury factor matvecs. XLA's emulated-f64
+    dot stages ~8 f32-split copies of its operands (measured: a 9.6 GB
+    AllocateBuffer for the full (5103, 63000) factor), so the matvecs
+    walk the factor in column chunks; each chunk is staged transiently
+    inside the loop."""
+    d = _largest_divisor(n, _MV_CHUNK)
+    return d if d >= 1024 else n
+
+
+def _factor_apply(Fp, v):
+    """``v - F^T (F v)`` with chunked matvecs; v already padded/typed."""
+    k, n = Fp.shape
+    ch = _factor_mv_chunk(n)
+    n_ch = n // ch
+
+    def fwd(i, acc):
+        c0 = i * ch
+        Fc = jax.lax.dynamic_slice(Fp, (0, c0), (k, ch))
+        vc = jax.lax.dynamic_slice(v, (c0,), (ch,))
+        return acc + Fc @ vc
+
+    w = jax.lax.fori_loop(0, n_ch, fwd, jnp.zeros((k,), Fp.dtype))
+
+    def bwd(i, out):
+        c0 = i * ch
+        Fc = jax.lax.dynamic_slice(Fp, (0, c0), (k, ch))
+        # einsum over k (NOT Fc.T @ w): a transpose inside the CG
+        # while_loop would be hoisted into a persistent transposed copy.
+        return jax.lax.dynamic_update_slice(
+            out, jnp.einsum('kc,k->c', Fc, w), (c0,)
+        )
+
+    return v - jax.lax.fori_loop(0, n_ch, bwd, jnp.zeros_like(v))
+
+
+_init_z = jax.jit(_factor_apply)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters'),
@@ -124,14 +166,9 @@ def _pcg_chunk(
     def M_apply(v):
         # Fp may be zero-padded along its column axis to a device-count
         # multiple (padded columns contribute nothing to the correction).
-        # The second contraction is written as an einsum over the k-axis
-        # (NOT Fp.T @ ...): a transpose inside the while_loop would be
-        # hoisted by XLA into a persistent transposed copy of the factor —
-        # doubling the solver's dominant memory term.
         vp = jnp.pad(v, (0, Fp.shape[1] - v.shape[0])).astype(Fp.dtype)
-        w = Fp @ vp
-        corr = jnp.einsum('kn,k->n', Fp, w).astype(v.dtype)[: v.shape[0]]
-        return (v - corr) / lam
+        out = _factor_apply(Fp, vp)[: v.shape[0]].astype(v.dtype)
+        return out / lam
 
     def A_apply(v):
         return _matvec_A(
@@ -459,11 +496,11 @@ class Iterative:
             )
             r = b - A_apply(x)
             rp = jnp.pad(r, (0, Fp_cur.shape[1] - r.shape[0]))
-            w = Fp_cur @ rp.astype(Fp_cur.dtype)
-            corr = jnp.einsum('kn,k->n', Fp_cur, w)[: r.shape[0]].astype(
-                r.dtype
+            z = (
+                _init_z(Fp_cur, rp.astype(Fp_cur.dtype))[: r.shape[0]]
+                .astype(r.dtype)
+                / lam
             )
-            z = (r - corr) / lam
             rz = r @ z
             return (x, r, z, z, rz, 0, jnp.zeros(CG_CHUNK_ITERS))
 
