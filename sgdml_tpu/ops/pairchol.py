@@ -79,6 +79,28 @@ def grid_pair_from_f32(G32):
     return hi, lo
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _diag_add_blk(hi, lo, delta):
+    x64 = pair_to_f64(hi, lo) + delta * jnp.eye(
+        hi.shape[0], dtype=jnp.float64
+    )
+    return pair_split(x64)
+
+
+def grid_pair_diag_add(Ghi, Glo, delta):
+    """Add ``delta I`` at pair accuracy (an f32 diagonal add would round
+    delta against O(1) diagonal entries at eps32 — the same size as the
+    shifts this factorization exists to support)."""
+    k = len(Ghi)
+    hi = [list(row) for row in Ghi]
+    lo = [list(row) for row in Glo]
+    for i in range(k):
+        hi[i][i], lo[i][i] = _diag_add_blk(
+            hi[i][i], lo[i][i], jnp.float64(delta)
+        )
+    return hi, lo
+
+
 def grid_pair_from_dense64(A64, spec):
     """Pair grid (lower triangle) from a dense f64 array (tests/tools)."""
     b = spec.b
@@ -212,9 +234,11 @@ def leaf_inverses(Lh, Ll):
 def solve_grid_pair(Lh, Ll, Dinv, y):
     """Solve ``(L L^T) x = y`` at pair accuracy. Pure function — called
     once per CG iteration from a *host* loop (see module docstring for
-    why not inside a while_loop). ``Dinv`` are f64 leaf inverses."""
+    why not inside a while_loop). ``Dinv`` are f64 leaf inverses; only
+    the OFF-diagonal pair blocks are read (the caller may free the
+    diagonal pair blocks after :func:`leaf_inverses`)."""
     k = len(Lh)
-    b = Lh[0][0].shape[0]
+    b = Dinv[0].shape[0]
     was_vec = y.ndim == 1
     if was_vec:
         y = y[:, None]

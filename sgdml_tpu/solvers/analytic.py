@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kernel import assemble_kernel, assemble_kernel_grid
-from ..ops import blockchol
+from ..ops import blockchol, pairchol
 
 log = logging.getLogger(__name__)
 
@@ -160,6 +160,56 @@ def _pcg_chol(
     return out, jnp.linalg.norm(out[1])
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=('n_atoms', 'desc_perms_key'),
+)
+def _pcg_pair_iter(
+    state, Lh, Ll, Dinv, X, Jc, sig, lam,
+    *, n_atoms, desc_perms_key,
+):
+    """ONE preconditioned-CG iteration on the f64 system with the
+    pair-precision Cholesky preconditioner (ops/pairchol.py).
+
+    Host-stepped on purpose: inside a while_loop XLA hoists the
+    loop-invariant pair->f64 block conversions of the factor into
+    persistent f64 copies (~16 GB at n = 63k). One program per
+    iteration keeps them transient; the host driver syncs only every
+    few iterations, so dispatch pipelines.
+    """
+    from .iterative import _matvec_A
+
+    x, r, z, p, rz = state
+    n = x.shape[0]
+    n_pad = len(Lh) * Dinv[0].shape[0]
+
+    Ap = _matvec_A(
+        p, X, Jc, X, Jc, sig, lam,
+        n_atoms=n_atoms, desc_perms_key=desc_perms_key, use_E_cstr=False,
+    )
+    alpha = rz / (p @ Ap)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    rp = jnp.zeros((n_pad,), dtype=r.dtype)
+    rp = jax.lax.dynamic_update_slice(rp, r, (0,))
+    z = pairchol.solve_grid_pair(Lh, Ll, Dinv, rp)[:n]
+    rz_new = r @ z
+    beta = rz_new / rz
+    p = z + beta * p
+    return (x, r, z, p, rz_new), jnp.linalg.norm(r)
+
+
+@jax.jit
+def _pcg_pair_init(Lh, Ll, Dinv, y):
+    n = y.shape[0]
+    n_pad = len(Lh) * Dinv[0].shape[0]
+    yp = jnp.zeros((n_pad,), dtype=y.dtype)
+    yp = jax.lax.dynamic_update_slice(yp, y, (0,))
+    z0 = pairchol.solve_grid_pair(Lh, Ll, Dinv, yp)[:n]
+    return (jnp.zeros_like(y), y, z0, z0, y @ z0)
+
+
 class Analytic:
     """Closed-form training on device.
 
@@ -195,6 +245,10 @@ class Analytic:
             Analytic.est_memory_requirement(n_train, n_atoms) > budget
             and not use_E_cstr
         ):
+            if Analytic.est_memory_pair(n_train, n_atoms) <= budget:
+                return self._solve_pair_pcg(
+                    task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
+                )
             return self._solve_tree_pcg(
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
@@ -371,6 +425,135 @@ class Analytic:
         self.t_solve = t_solve
         self.pcg_iters = iters
         return -np.asarray(x)
+
+    def _solve_pair_pcg(
+        self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
+        target_block: int = 4096,
+    ):
+        """Large-system closed-form solve, pair-precision variant: the
+        (f32, bf16) block Cholesky with Ozaki int8 updates
+        (ops/pairchol.py) factors at the pair-storage error floor, so
+        the stability shift lam' sits orders of magnitude below the f32
+        grid's (~3e-7 lmax) — and the refinement CG converges in
+        ~sqrt(lam'_f32 / lam'_pair) fewer iterations."""
+        dim_i = 3 * n_atoms
+        m = R_desc.shape[0]
+        m_pad = -(-m // 8) * 8
+        spec = blockchol.grid_spec(
+            m_pad * dim_i, target_block=target_block, align=dim_i
+        )
+
+        X64 = jnp.asarray(R_desc)
+        Jc64 = jnp.asarray(R_d_desc)
+        y_dev = jnp.asarray(y, dtype=X64.dtype)
+        dperms = np.asarray(desc_perms)
+        perms_key = (
+            np.ascontiguousarray(dperms.astype(np.int64)).tobytes(),
+            dperms.shape,
+        )
+
+        t0 = timeit.default_timer()
+        lmax = float(
+            _lmax_power(
+                X64, Jc64, sig, lam,
+                n_atoms=n_atoms, desc_perms_key=perms_key,
+            )
+        )
+
+        # lam' ladder, starting near the pair-storage floor (~2^-33
+        # lmax) plus assembly noise; each failed rung costs one
+        # assembly + partial factorization (fails fast on the first
+        # indefinite leaf).
+        Lh = Ll = None
+        lam_p_used = None
+        shifts = [0.0, 3e-9, 3e-8, 3e-7, 3e-6]
+        if lam < 1e-9 * lmax:
+            shifts = shifts[1:]
+        for shift in shifts:
+            lam_p = max(lam, shift * lmax)
+            A32 = assemble_kernel_grid(
+                R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,
+                dtype=jnp.float32,
+            )
+            Ghi, Glo = pairchol.grid_pair_from_f32(A32)
+            del A32
+            Ghi, Glo = pairchol.grid_pair_diag_add(Ghi, Glo, lam_p)
+            Lh_try, Ll_try = pairchol.chol_grid_pair(Ghi, Glo)
+            del Ghi, Glo
+            if bool(pairchol.grid_pair_isfinite(Lh_try)):
+                Lh, Ll, lam_p_used = Lh_try, Ll_try, lam_p
+                break
+            del Lh_try, Ll_try
+        if Lh is None:
+            log.warning(
+                'Pair-precision factorization failed at every lam\' rung; '
+                'falling back to the f32 grid solver.'
+            )
+            return self._solve_tree_pcg(
+                task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
+            )
+        Dinv = pairchol.leaf_inverses(Lh, Ll)
+        # The solve reads only off-diagonal pair blocks + the inverses;
+        # free the diagonal pairs (n*b*6 bytes — what keeps the whole
+        # working set inside the default budget at n = 63k).
+        for j in range(len(Lh)):
+            Lh[j][j] = jnp.zeros((1, 1), jnp.float32)
+            Ll[j][j] = jnp.zeros((1, 1), pairchol.LO_DTYPE)
+        t_assemble = timeit.default_timer() - t0
+        log.info(
+            'Assembled+factorized %dx%d pair-precision (f32+bf16) triangle '
+            'in %.2f s (lmax=%.3e, lam\'=%g%s).',
+            spec.n, spec.n, t_assemble, lmax, lam_p_used,
+            '' if lam_p_used == lam else ' [shifted for pair stability]',
+        )
+
+        t0 = timeit.default_timer()
+        b_norm = max(float(np.linalg.norm(y)), 1e-300)
+        state = _pcg_pair_init(Lh, Ll, Dinv, y_dev)
+        rel, it, check = 1.0, 0, 10
+        while it < PCG_MAX_ITERS:
+            state, rn = _pcg_pair_iter(
+                state, Lh, Ll, Dinv, X64, Jc64, sig, lam,
+                n_atoms=n_atoms, desc_perms_key=perms_key,
+            )
+            it += 1
+            if it % check == 0 or it == PCG_MAX_ITERS:
+                # device_get forces completion through the axon tunnel
+                # (block_until_ready does not); bounds the dispatch queue.
+                rel = float(jax.device_get(rn)) / b_norm
+                if it % 100 == 0:
+                    log.info(
+                        'Refinement CG: %d iterations, relative residual '
+                        '%.2e (%.1f s).', it, rel,
+                        timeit.default_timer() - t0,
+                    )
+                if rel <= PCG_RTOL or not np.isfinite(rel):
+                    break
+        x = state[0]
+        t_solve = timeit.default_timer() - t0
+        log.info(
+            'Refinement CG converged: %d iterations, relative residual '
+            '%.2e (%.1f s).', it, rel, t_solve,
+        )
+        if rel > 1e-6:
+            log.warning(
+                'Refinement CG stopped at relative residual %.2e (target '
+                '%.0e); the solution may be slightly less accurate than a '
+                'direct f64 factorization.', rel, PCG_RTOL,
+            )
+
+        self.t_assemble = t_assemble
+        self.t_solve = t_solve
+        self.pcg_iters = it
+        return -np.asarray(x)
+
+    @staticmethod
+    def est_memory_pair(n_train, n_atoms):
+        """Bytes for the pair-precision path: 6 B/elem packed pair
+        triangle (diagonal blocks freed after leaf inversion) + f64
+        leaf inverses + block transients."""
+        n = (-(-n_train // 8) * 8) * 3 * n_atoms
+        return int(3 * n**2 + 2 * n * 4224 + 4e8)
 
     @staticmethod
     def est_memory_requirement(n_train, n_atoms):
