@@ -192,6 +192,16 @@ def _pcg_chunk(
         r = r - alpha * Ap
         z = M_apply(r)
         rz_new = r @ z
+        # PSD guard: at large k the Woodbury correction cancels to
+        # ~lam * ||v|| and f64 rounding can push I - F^T F (hence r.z)
+        # slightly negative, which sends plain PCG to NaN and trips the
+        # stall detector. Fall back to an unpreconditioned step for
+        # such iterations (flexible-PCG style) instead of diverging.
+        bad = jnp.logical_not(rz_new > 0) | jnp.logical_not(
+            jnp.isfinite(rz_new)
+        )
+        z = jnp.where(bad, r, z)
+        rz_new = jnp.where(bad, r @ r, rz_new)
         beta = rz_new / rz
         p = z + beta * p
         hist = hist.at[it].set(jnp.linalg.norm(r))
@@ -502,6 +512,9 @@ class Iterative:
                 / lam
             )
             rz = r @ z
+            if not bool(rz > 0):  # PSD guard (see _pcg_chunk body)
+                z = r
+                rz = r @ r
             return (x, r, z, z, rz, 0, jnp.zeros(CG_CHUNK_ITERS))
 
         state = init_state(x0, Fp)
@@ -622,6 +635,10 @@ class Iterative:
                         lev_scores[: n_train * dim_i],
                         n_inducing_pts * dim_i,
                     )
+                    # Free the old factor first: old + new + build
+                    # transients exceed HBM at MD17/MD22 scale (measured
+                    # ResourceExhausted on restart at k=5103, n=63000).
+                    Fp = None
                     Fp, lev_scores = self._build_factor(
                         X, Jc, dperms, sig, lam, inducing_pts_idxs,
                         n_atoms, use_E_cstr,
