@@ -22,7 +22,8 @@ import numpy as np
 logging.basicConfig(level=logging.INFO, format='[%(levelname)s] %(message)s')
 
 
-def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False):
+def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
+           max_seconds=None):
     from sgdml_tpu.train import GDMLTrain
 
     trainer = GDMLTrain()
@@ -31,7 +32,7 @@ def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False):
         ds, m_train, ds, 200, sig=sig, lam=lam, use_sym=use_sym, use_E=True
     )
     t0 = timeit.default_timer()
-    model = trainer.train(task, solver=solver)
+    model = trainer.train(task, solver=solver, solver_max_seconds=max_seconds)
     t_train = timeit.default_timer() - t0
     return task, model, t_train
 
@@ -90,7 +91,9 @@ def bench_atat3000():
     from sgdml_tpu.datasets.synthetic import generate_md_dataset
 
     ds = generate_md_dataset(n_atoms=60, n_frames=3600, seed=11)
-    task, model, t_train = _train(ds, 3000, sig=25.0, solver='cg')
+    task, model, t_train = _train(
+        ds, 3000, sig=25.0, solver='cg', max_seconds=1800
+    )
     mae, scale = _force_mae(ds, task, model, n_test=300)
     out = {
         'config': 'MD22 AT-AT-sized N=60 M=3000 iterative (Nystrom-pCG)',

@@ -730,6 +730,69 @@ def assemble_kernel_grid(
     return [[block(i, j) for j in range(i + 1)] for i in range(spec.k)]
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _pair_split_blk(x64):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def assemble_kernel_grid_pair(
+    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,
+    tile_i=None, tile_j=None,
+):
+    """Assemble ``A = -K`` straight into pair-float (f32 hi, bf16 lo)
+    block-grid storage (ops/pairchol.py) by computing each block in f64
+    and splitting it. ~33-bit entries let the pair Cholesky's stability
+    shift sit at the pair-storage floor instead of the f32 assembly's
+    eps32 entry-noise floor. Emulated-f64 assembly trades one-time
+    assembly speed for a several-fold smaller refinement-CG iteration
+    count (see solvers/analytic.py ladder)."""
+    dim_i = 3 * n_atoms
+    if spec.b % dim_i != 0:
+        raise ValueError('grid blocks must be aligned to 3*n_atoms')
+    m = R_desc.shape[0]
+    m_pad = spec.n // dim_i
+    b_pts = spec.b // dim_i
+    X = jnp.asarray(R_desc, jnp.float64)
+    Jc = jnp.asarray(R_d_desc, jnp.float64)
+
+    n_perms = np.asarray(desc_perms).shape[0]
+    if tile_i is None or tile_j is None:
+        ti, tj = default_tile_sizes(m_pad, n_atoms, n_perms, 8)
+        tile_i = tile_i or ti
+        tile_j = tile_j or tj
+    tile_i = int(min(tile_i, b_pts))
+    tile_j = int(min(tile_j, b_pts))
+
+    m_padded = m_pad + max(tile_i, tile_j)
+    X = jnp.pad(X, ((0, m_padded - m), (0, 0)))
+    Jc = jnp.pad(Jc, ((0, m_padded - m), (0, 0), (0, 0)))
+    perms_key = _perms_key(desc_perms)
+
+    from .blockchol import sync
+
+    def block(i, j):
+        out = _assemble_block_jit(
+            X, Jc, sig, i * b_pts, j * b_pts, m,
+            n_atoms=n_atoms,
+            desc_perms_key=perms_key,
+            n_row_pts=b_pts,
+            n_col_pts=b_pts,
+            tile_i=tile_i,
+            tile_j=tile_j,
+            diag=(i == j),
+        )
+        hi, lo = _pair_split_blk(out)
+        sync(hi)
+        return hi, lo
+
+    pairs = [[block(i, j) for j in range(i + 1)] for i in range(spec.k)]
+    Ghi = [[p[0] for p in row] for row in pairs]
+    Glo = [[p[1] for p in row] for row in pairs]
+    return Ghi, Glo
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('n_atoms', 'desc_perms_key', 'tile_i', 'use_E_cstr'),

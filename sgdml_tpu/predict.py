@@ -179,6 +179,22 @@ def _predict_geoms(
     return E, F
 
 
+def _auto_batch_size() -> int:
+    """Device-dependent default bucket (ROADMAP: fold the measured
+    tune.py ladder into the defaults). On the TPU the serving path is
+    launch/transfer-bound — one 10k-geometry launch measured 56k
+    geoms/s where 20 x 500 launches gave 7.8k (BENCH_NOTES.md) — so
+    accelerators default to a large bucket; small requests still take
+    the power-of-two ladder below it (see ``_bucket``). CPU keeps a
+    small bucket (compile cost dominates there, throughput does not).
+    ``prepare_parallel`` / the tune cache override this default."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - backend init failure
+        platform = 'cpu'
+    return 64 if platform == 'cpu' else 1024
+
+
 def _desc_perm_table(perms: np.ndarray) -> np.ndarray:
     return np.stack([desc_ops.perm_to_desc_perm(p) for p in np.asarray(perms)])
 
@@ -206,7 +222,7 @@ class GDMLPredict:
         (energy constraints, lattice/PBC).
     """
 
-    def __init__(self, model, dtype=jnp.float64, batch_size: int = 64,
+    def __init__(self, model, dtype=jnp.float64, batch_size: int | None = None,
                  transfer_dtype=None, mesh=None):
         if not _is_model(model):
             raise ValueError('The provided data structure is not a valid model.')
@@ -218,6 +234,8 @@ class GDMLPredict:
         self.transfer_dtype = transfer_dtype
         self.mesh = mesh
         self._n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+        if batch_size is None:
+            batch_size = _auto_batch_size()
         batch_size = -(-int(batch_size) // self._n_dev) * self._n_dev
         self.batch_size = int(batch_size)
 

@@ -38,7 +38,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.kernel import assemble_kernel, assemble_kernel_grid
+from ..ops.kernel import (
+    assemble_kernel,
+    assemble_kernel_grid,
+    assemble_kernel_grid_pair,
+)
 from ..ops import blockchol, pairchol
 
 log = logging.getLogger(__name__)
@@ -428,7 +432,7 @@ class Analytic:
 
     def _solve_pair_pcg(
         self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
-        target_block: int = 4096,
+        target_block: int = 4096, assembly: str = 'f64',
     ):
         """Large-system closed-form solve, pair-precision variant: the
         (f32, bf16) block Cholesky with Ozaki int8 updates
@@ -471,12 +475,19 @@ class Analytic:
             shifts = shifts[1:]
         for shift in shifts:
             lam_p = max(lam, shift * lmax)
-            A32 = assemble_kernel_grid(
-                R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,
-                dtype=jnp.float32,
-            )
-            Ghi, Glo = pairchol.grid_pair_from_f32(A32)
-            del A32
+            if assembly == 'f64':
+                # True-pair entries (~33 bits): the lam' floor is the
+                # pair-storage limit, not f32 assembly entry noise.
+                Ghi, Glo = assemble_kernel_grid_pair(
+                    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec
+                )
+            else:
+                A32 = assemble_kernel_grid(
+                    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,
+                    dtype=jnp.float32,
+                )
+                Ghi, Glo = pairchol.grid_pair_from_f32(A32)
+                del A32
             Ghi, Glo = pairchol.grid_pair_diag_add(Ghi, Glo, lam_p)
             Lh_try, Ll_try = pairchol.chol_grid_pair(Ghi, Glo)
             del Ghi, Glo

@@ -286,13 +286,16 @@ class GDMLTrain:
     # Training
     # ------------------------------------------------------------------
 
-    def train(self, task, solver=None, save_progr_callback=None, callback=None):
+    def train(self, task, solver=None, save_progr_callback=None, callback=None,
+              solver_max_seconds=None):
         """Train a model from a task dict.
 
         Solver selection follows the reference's memory heuristic
         (sgdml/train.py:949-971): closed-form Cholesky when the kernel plus
         factors fit the budget, Nystrom-preconditioned CG otherwise. Pass
         ``solver='analytic'`` or ``'cg'`` to override.
+        ``solver_max_seconds`` bounds the iterative solver's CG wall clock;
+        an unconverged model is returned (and flagged) when it trips.
         """
         from .utils.profiling import PhaseTimer
 
@@ -377,6 +380,7 @@ class GDMLTrain:
                     y,
                     y_std,
                     save_progr_callback=save_progr_callback,
+                    max_seconds=solver_max_seconds,
                 )
             solver_keys['norm_y_train'] = float(np.linalg.norm(y))
             if not is_conv:

@@ -65,3 +65,28 @@ def test_pair_memory_estimate_undercuts_dense():
         Analytic.est_memory_pair(1000, 21)
         < Analytic.est_memory_requirement(1000, 21) / 2
     )
+
+
+def test_pair_assembly_matches_dense_to_pair_floor():
+    from sgdml_tpu.ops import blockchol, pairchol
+    from sgdml_tpu.ops.kernel import assemble_kernel, assemble_kernel_grid_pair
+
+    n_atoms, m, sig = 5, 16, 4.0
+    X, Jc, dperms, _ = _setup(m, n_atoms)
+    dim_i = 3 * n_atoms
+    spec = blockchol.GridSpec(m * dim_i, 2)
+    Ghi, Glo = assemble_kernel_grid_pair(
+        np.asarray(X), np.asarray(Jc), dperms, sig, n_atoms, spec
+    )
+    K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
+    b = spec.b
+    scale = np.abs(K).max()
+    lo_mags = []
+    for i in range(spec.k):
+        for j in range(i + 1):
+            got = np.asarray(pairchol.pair_to_f64(Ghi[i][j], Glo[i][j]))
+            want = -K[i * b : (i + 1) * b, j * b : (j + 1) * b]
+            assert np.abs(got - want).max() < 2.0 ** (-32) * scale
+            lo_mags.append(np.abs(np.asarray(Glo[i][j], np.float64)).max())
+    # The lo parts must carry real sub-f32 information.
+    assert max(lo_mags) > 0
