@@ -231,6 +231,19 @@ def leaf_inverses(Lh, Ll):
     return [_leaf_inv(Lh[j][j], Ll[j][j]) for j in range(len(Lh))]
 
 
+def _seq(block, dep):
+    """Tie a block (conversion) to the running substitution value.
+
+    The substitution itself is data-sequential, but the pair->f64
+    conversions and the f64-dot emulation stagings of DIFFERENT blocks
+    have no mutual dependencies — XLA schedules them all up front and
+    their ~8x f32-split buffers coexist (measured: 59.5 GB compile-time
+    demand at n = 63k, k = 20). The barrier makes each block's use
+    depend on the previous step, serializing liveness."""
+    block, _ = jax.lax.optimization_barrier((block, dep))
+    return block
+
+
 def solve_grid_pair(Lh, Ll, Dinv, y):
     """Solve ``(L L^T) x = y`` at pair accuracy. Pure function — called
     once per CG iteration from a *host* loop (see module docstring for
@@ -250,16 +263,16 @@ def solve_grid_pair(Lh, Ll, Dinv, y):
     for j in range(k):
         rhs = yb[j]
         for c in range(j):
-            rhs = rhs - pair_to_f64(Lh[j][c], Ll[j][c]) @ z[c]
-        z.append(Dinv[j] @ rhs)
+            blk = _seq(pair_to_f64(Lh[j][c], Ll[j][c]), rhs[0, 0])
+            rhs = rhs - blk @ z[c]
+        z.append(_seq(Dinv[j], rhs[0, 0]) @ rhs)
     x = [None] * k
     for j in reversed(range(k)):
         rhs = z[j]
         for r in range(j + 1, k):
             # Contract the FIRST axis (no persistent transposed copies).
-            rhs = rhs - jnp.einsum(
-                'rc,rm->cm', pair_to_f64(Lh[r][j], Ll[r][j]), x[r]
-            )
-        x[j] = Dinv[j].T @ rhs
+            blk = _seq(pair_to_f64(Lh[r][j], Ll[r][j]), rhs[0, 0])
+            rhs = rhs - jnp.einsum('rc,rm->cm', blk, x[r])
+        x[j] = jnp.einsum('rc,rm->cm', _seq(Dinv[j], rhs[0, 0]), rhs)
     out = jnp.concatenate(x, axis=0)
     return out[:, 0] if was_vec else out
