@@ -1,6 +1,7 @@
 """Dev utility: compile + validate + time the Pallas fused inference
-kernel on real TPU hardware, vs the XLA f32 and f64 paths, at an
-aspirin-sized table (T = M*P = 6000, D = 210)."""
+kernel on real TPU hardware, vs the XLA f32 and f64 paths, at
+aspirin-sized and MD22-AT-AT-sized tables (pay-or-park evidence for
+VERDICT #7 / ROADMAP #2)."""
 
 import pathlib
 import sys
@@ -18,8 +19,8 @@ from sgdml_tpu.ops.pallas_predict import pallas_predict_tables
 from sgdml_tpu.predict import predict_from_tables
 
 
-def main():
-    n_atoms, m, p, B = 21, 1000, 6, 1024
+def main(n_atoms=21, m=1000, p=6, B=1024):
+    print('=== N=%d M=%d P=%d B=%d ===' % (n_atoms, m, p, B), flush=True)
     dim_d = n_atoms * (n_atoms - 1) // 2
     T = m * p
     rng = np.random.default_rng(0)
@@ -86,4 +87,12 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == 'md22':
+        main(n_atoms=60, m=3000, p=1, B=512)
+    elif len(_sys.argv) > 1 and _sys.argv[1] == 'both':
+        main()
+        main(n_atoms=60, m=3000, p=1, B=512)
+    else:
+        main()
