@@ -564,7 +564,15 @@ class Iterative:
                 ratio = (-steps.clip(max=0).sum() / total) if total > 0 else 1.0
                 eff = (int(100 * ratio) - 50) * 2
 
-            if self.callback is not None:
+            if self.callback is None:
+                elapsed = timeit.default_timer() - t_start
+                log.info(
+                    'CG: %d iters (%.2f iter/s), resid %.3e (target %.3e), '
+                    'effectiveness %d%%, k=%d.',
+                    num_iters, num_iters / max(elapsed, 1e-9), resid,
+                    tol * b_norm, eff, n_inducing_pts,
+                )
+            else:
                 elapsed = timeit.default_timer() - t_start
                 self.callback(
                     num_iters,
