@@ -525,6 +525,11 @@ class Iterative:
         max_iters = 3 * n_atoms * n_train * 10
         last_ckpt = timeit.default_timer()
         t_start = timeit.default_timer()
+        # Best finite iterate: restarts re-seed from it, and the final
+        # answer falls back to it — a numerical breakdown (NaN residual)
+        # must never poison the returned model or the restart seed.
+        best_resid = resid if np.isfinite(resid) else np.inf
+        best_x = np.asarray(state[0])
 
         while True:
             state = pcg_chunk(state, Fp)
@@ -537,6 +542,15 @@ class Iterative:
             steps_hist += list(np.diff(new_resid_series))
             steps_hist = steps_hist[-CG_STEPS_HIST_LEN:]
             resid = float(new_resid_series[-1])
+            if np.isfinite(resid) and resid < best_resid:
+                best_resid = resid
+                best_x = np.asarray(x)
+            elif not np.isfinite(resid):
+                log.warning(
+                    'CG residual is non-finite at iteration %d (numerical '
+                    'breakdown); falling back to the best iterate '
+                    '(residual %.3e).', num_iters, best_resid,
+                )
 
             converged = resid <= tol * b_norm
             if converged or num_iters >= max_iters:
@@ -590,7 +604,10 @@ class Iterative:
             ):
                 last_ckpt = now
                 self._save_checkpoint(
-                    task, R_desc, R_d_desc, y_std, x, tol, num_iters, resid,
+                    task, R_desc, R_d_desc, y_std,
+                    x if np.isfinite(resid) else best_x,
+                    tol, num_iters,
+                    resid if np.isfinite(resid) else best_resid,
                     b_norm, inducing_pts_idxs, save_progr_callback,
                 )
 
@@ -660,10 +677,15 @@ class Iterative:
                         '(k=%d); re-seeding CG (%d restarts left).',
                         n_inducing_pts, MAX_NUM_RESTARTS - num_restarts,
                     )
-                state = init_state(np.asarray(x), Fp)
+                state = init_state(best_x, Fp)
+                resid = best_resid
 
+        if not np.isfinite(resid) or resid > best_resid:
+            x_final, resid = best_x, best_resid
+        else:
+            x_final = np.asarray(state[0])
         is_conv = resid <= tol * b_norm
-        alphas = -np.asarray(state[0])
+        alphas = -x_final
         train_rmse = resid / np.sqrt(n)
         return (
             alphas,
