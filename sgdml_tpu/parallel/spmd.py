@@ -317,15 +317,103 @@ def _solve_interleaved_jit(K_int, y_int, mask, lam, *, nb):
     return -cho_solve_blocked(A, b, nb=nb)
 
 
-def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout, nb: int | None = None):
+@functools.partial(jax.jit, static_argnames=('nb', 'cg_iters'))
+def _solve_interleaved_pair_jit(
+    K_int, y_int, mask, lam, lam_p, *, nb, cg_iters
+):
+    """Pair-precision mesh solve: (f32+bf16) blocked Cholesky of the
+    lam'-shifted system (ops/meshchol.py — int8-MXU Ozaki updates; the
+    production mode on real chips, where emulated-f64 Cholesky runs at
+    0.18 TFLOP/s) used as the preconditioner of CG on the resident f64
+    system. Preconditioned condition number is bounded by lam'/lam.
+
+    Returns (x, ok, rel_resid); ok=False when the pair factorization
+    went indefinite at this lam' (caller ladders)."""
+    from ..ops import meshchol
+
+    valid = mask[:, None] & mask[None, :]
+    A = jnp.where(valid, -K_int, 0.0)
+    n = A.shape[0]
+    diag = jnp.where(mask, jnp.asarray(lam, A.dtype), jnp.asarray(1.0, A.dtype))
+    A = A.at[jnp.arange(n), jnp.arange(n)].add(diag)
+    b = jnp.where(mask, y_int, 0.0)
+
+    shift = jnp.where(mask, jnp.asarray(lam_p - lam, A.dtype), 0.0)
+    # Add the shift at pair accuracy (an f32 diagonal add would round
+    # lam' against O(1) entries).
+    Ash = A + jnp.diag(shift)
+    Ahi = Ash.astype(jnp.float32)
+    Alo = (Ash - Ahi.astype(jnp.float64)).astype(jnp.bfloat16)
+    Lh, Ll = meshchol.blocked_cholesky_pair(Ahi, Alo, nb=nb)
+    ok = jnp.all(jnp.isfinite(Lh))
+
+    b_norm = jnp.linalg.norm(b)
+
+    def M_apply(v):
+        return meshchol.cho_solve_pair(Lh, Ll, v, nb=nb)
+
+    def cond(carry):
+        _, r, _, _, _, it = carry
+        rn = jnp.linalg.norm(r)
+        return (it < cg_iters) & (rn > 1e-9 * b_norm) & jnp.isfinite(rn)
+
+    def body(carry):
+        x, r, z, p, rz, it = carry
+        Ap = A @ p
+        alpha = rz / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_apply(r)
+        rz_new = r @ z
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    z0 = M_apply(b)
+    state = (jnp.zeros_like(b), b, z0, z0, b @ z0, 0)
+    x, r, *_ = jax.lax.while_loop(cond, body, state)
+    return -x, ok, jnp.linalg.norm(r) / b_norm
+
+
+def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout,
+                      nb: int | None = None, precision: str = 'f64'):
     """Solve the sharded interleaved system; returns standard-order alphas
-    (host numpy), same sign convention as ``Analytic.solve``."""
+    (host numpy), same sign convention as ``Analytic.solve``.
+
+    ``precision='pair'`` factorizes in (f32, bf16) pair precision with
+    exact int8-slice GEMM updates and refines with CG on the f64 system
+    (a lam' ladder keeps the factorization SPD) — the intended mode on
+    real TPU meshes. ``'f64'`` is the exact emulated-f64 factorization.
+    """
     if nb is None:
         nb = _largest_divisor(lay.n_rows, 1024)
+    y_int = jnp.asarray(lay.scatter_vec(y_std))
+    mask = jnp.asarray(lay.mask)
+    if precision == 'pair':
+        import logging
+
+        log = logging.getLogger(__name__)
+        # lmax <= max row sum of |A| (Gershgorin) — cheap ladder scale.
+        lmax = float(jnp.max(jnp.sum(jnp.abs(K_int), axis=1)) + lam)
+        for shift in (3e-9, 3e-8, 3e-7, 3e-6):
+            lam_p = max(lam, shift * lmax)
+            x_int, ok, rel = _solve_interleaved_pair_jit(
+                K_int, y_int, mask, lam, lam_p,
+                nb=int(nb), cg_iters=2000,
+            )
+            if bool(ok):
+                log.info(
+                    "Mesh pair solve: lam'=%g, CG relative residual %.2e.",
+                    lam_p, float(rel),
+                )
+                return lay.gather_vec(np.asarray(x_int))
+        log.warning(
+            'Pair factorization failed at every rung; falling back to f64.'
+        )
     x_int = _solve_interleaved_jit(
         K_int,
-        jnp.asarray(lay.scatter_vec(y_std)),
-        jnp.asarray(lay.mask),
+        y_int,
+        mask,
         lam,
         nb=int(nb),
     )

@@ -74,6 +74,40 @@ def test_sharded_solve_matches_dense(mesh, setup):
     assert rel < 1e-5, rel
 
 
+def test_sharded_pair_solve_matches_dense(mesh, setup):
+    """precision='pair': (f32+bf16) mesh Cholesky + CG refinement must
+    match the dense f64 solve at the kernel system's conditioning
+    (force-level parity is what the solver contract promises)."""
+    ds, n_atoms, m, X, Jc, perms, dperms = setup
+    sig, lam = 5.0, 1e-10
+    from sgdml_tpu.solvers.analytic import _cho_solve_neg
+
+    K1 = ker.assemble_kernel(X, Jc, dperms, sig, n_atoms)
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=K1.shape[0])
+    a_ref, ok = _cho_solve_neg(K1, jnp.asarray(y), lam)
+    assert bool(ok)
+
+    K8, lay = spmd.assemble_kernel_sharded(X, Jc, dperms, sig, n_atoms, mesh)
+    a8 = spmd.solve_interleaved(K8, y, lam, lay, precision='pair')
+    # Residual vs the single-device assembly: floored by the f64
+    # assembly-order difference between K1 and K8 times ||x|| (~cond
+    # amplified), not by the CG (which reaches 1e-9 on its own system).
+    Kn = np.asarray(K1)
+    r = (-Kn + lam * np.eye(Kn.shape[0])) @ (-a8) - y
+    assert np.linalg.norm(r) / np.linalg.norm(y) < 1e-4
+    # Force-level parity against the f64 solve (each side carries its
+    # own cond-limited backward error ~ eps64 * cond ~ 1e-5).
+    f_rel = np.linalg.norm(Kn @ a8 - Kn @ np.asarray(a_ref)) / (
+        np.linalg.norm(Kn @ np.asarray(a_ref))
+    )
+    assert f_rel < 1e-5, f_rel
+    rel = np.linalg.norm(a8 - np.asarray(a_ref)) / np.linalg.norm(
+        np.asarray(a_ref)
+    )
+    assert rel < 1e-3, rel
+
+
 def test_sharded_predict_matches_single(mesh, setup):
     ds, n_atoms, m, X, Jc, perms, dperms = setup
     sig, std, c = 5.0, 1.3, -2.0
