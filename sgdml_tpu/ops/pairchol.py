@@ -231,6 +231,105 @@ def leaf_inverses(Lh, Ll):
     return [_leaf_inv(Lh[j][j], Ll[j][j]) for j in range(len(Lh))]
 
 
+def strips_from_grid(Lh, Ll):
+    """Repack the factor's OFF-DIAGONAL blocks into ragged column strips.
+
+    Strip ``j`` stacks blocks ``L[j+1..k-1][j]`` into one ``((k-1-j) b,
+    b)`` pair array. The solve walks a strip block-by-block inside a
+    ``fori_loop`` whose dynamic slice index defeats XLA's loop-invariant
+    code motion — each pair->f64 conversion and its f64-dot emulation
+    staging is transient (~8 f32 planes of ONE block), where the
+    block-grid formulation staged every block's conversion concurrently
+    (measured: 64 GB compile-time demand at n = 63k even with
+    optimization barriers, which order consumers but not the staging).
+
+    Consumes the grid blocks column by column (refs dropped as copied);
+    the last (empty) strip is represented as None.
+    """
+    k = len(Lh)
+    strips = []
+    for j in range(k):
+        if j + 1 >= k:
+            strips.append(None)
+            continue
+        his = [Lh[i][j] for i in range(j + 1, k)]
+        los = [Ll[i][j] for i in range(j + 1, k)]
+        strips.append(
+            (jnp.concatenate(his, axis=0), jnp.concatenate(los, axis=0))
+        )
+        for i in range(j + 1, k):
+            Lh[i][j] = None
+            Ll[i][j] = None
+    return strips
+
+
+def _strip_mv_sub(strip, zj, y, row0, b):
+    """``y[row0:] -= strip @ zj`` block-by-block (chunked f64 staging)."""
+    hi, lo = strip
+    n_blk = hi.shape[0] // b
+    m = zj.shape[1]
+
+    def body(c, y):
+        blk = pair_to_f64(
+            jax.lax.dynamic_slice(hi, (c * b, 0), (b, b)),
+            jax.lax.dynamic_slice(lo, (c * b, 0), (b, b)),
+        )
+        r0 = row0 + c * b
+        yc = jax.lax.dynamic_slice(y, (r0, 0), (b, m))
+        return jax.lax.dynamic_update_slice(y, yc - blk @ zj, (r0, 0))
+
+    return jax.lax.fori_loop(0, n_blk, body, y)
+
+
+def _strip_tmv(strip, x, row0, b, m):
+    """``strip^T @ x[row0:]`` block-by-block; returns ``(b, m)``."""
+    hi, lo = strip
+    n_blk = hi.shape[0] // b
+
+    def body(c, acc):
+        blk = pair_to_f64(
+            jax.lax.dynamic_slice(hi, (c * b, 0), (b, b)),
+            jax.lax.dynamic_slice(lo, (c * b, 0), (b, b)),
+        )
+        xc = jax.lax.dynamic_slice(x, (row0 + c * b, 0), (b, m))
+        return acc + jnp.einsum('rc,rm->cm', blk, xc)
+
+    return jax.lax.fori_loop(
+        0, n_blk, body, jnp.zeros((b, m), jnp.float64)
+    )
+
+
+def solve_strips(strips, Dinv, y):
+    """Solve ``(L L^T) x = y`` from column strips + f64 leaf inverses.
+
+    Pure and jit-safe INCLUDING inside while_loops: all factor reads go
+    through dynamic slices (see :func:`strips_from_grid`)."""
+    k = len(Dinv)
+    b = Dinv[0].shape[0]
+    was_vec = y.ndim == 1
+    if was_vec:
+        y = y[:, None]
+    m = y.shape[1]
+    y = y.astype(jnp.float64)
+    # Forward: right-looking column substitution.
+    z = jnp.zeros_like(y)
+    for j in range(k):
+        yj = jax.lax.dynamic_slice(y, (j * b, 0), (b, m))
+        zj = Dinv[j] @ yj
+        z = jax.lax.dynamic_update_slice(z, zj, (j * b, 0))
+        if strips[j] is not None:
+            y = _strip_mv_sub(strips[j], zj, y, (j + 1) * b, b)
+    # Backward.
+    x = jnp.zeros_like(z)
+    for j in reversed(range(k)):
+        rhs = jax.lax.dynamic_slice(z, (j * b, 0), (b, m))
+        if strips[j] is not None:
+            rhs = rhs - _strip_tmv(strips[j], x, (j + 1) * b, b, m)
+        xj = jnp.einsum('rc,rm->cm', Dinv[j], rhs)
+        x = jax.lax.dynamic_update_slice(x, xj, (j * b, 0))
+    return x[:, 0] if was_vec else x
+
+
 def _seq(block, dep):
     """Tie a block (conversion) to the running substitution value.
 

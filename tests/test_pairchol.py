@@ -98,3 +98,17 @@ def test_indefinite_yields_nan():
     Ghi, Glo = pairchol.grid_pair_from_dense64(A, spec)
     Lh, _ = pairchol.chol_grid_pair(Ghi, Glo)
     assert not bool(pairchol.grid_pair_isfinite(Lh))
+
+
+def test_solve_strips_matches_grid_solve(factored):
+    A, spec, Lh, Ll = factored
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(spec.n)
+    Dinv = pairchol.leaf_inverses(Lh, Ll)
+    want = np.asarray(pairchol.solve_grid_pair(Lh, Ll, Dinv, jnp.asarray(y)))
+    # strips_from_grid consumes the grid: hand it copies.
+    Lh_c = [list(r) for r in Lh]
+    Ll_c = [list(r) for r in Ll]
+    strips = pairchol.strips_from_grid(Lh_c, Ll_c)
+    got = np.asarray(pairchol.solve_strips(strips, Dinv, jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
