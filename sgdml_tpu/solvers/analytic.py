@@ -238,11 +238,15 @@ class Analytic:
     """
 
     def __init__(self, gdml_train=None, desc=None, callback=None, mesh=None,
-                 max_memory: float = 12):
+                 max_memory: float = 12, mesh_precision: str = 'f64'):
         self.gdml_train = gdml_train
         self.callback = callback
         self.mesh = mesh
         self._max_memory = max_memory
+        # 'pair' = (f32+bf16) Cholesky with int8-MXU Ozaki updates + CG
+        # refinement (the performant mode on real chips); 'f64' = exact
+        # emulated-f64 factorization (default; CPU-mesh friendly).
+        self.mesh_precision = mesh_precision
 
     def solve(self, task, R_desc, R_d_desc, desc_perms, y):
         sig = float(np.squeeze(task['sig']))
@@ -335,7 +339,9 @@ class Analytic:
         )
 
         t0 = timeit.default_timer()
-        alphas = spmd.solve_interleaved(K, np.asarray(y), lam, lay)
+        alphas = spmd.solve_interleaved(
+            K, np.asarray(y), lam, lay, precision=self.mesh_precision
+        )
         t_solve = timeit.default_timer() - t0
         log.info(
             'Solved %d-dim linear system (blocked Cholesky over %d devices) '
