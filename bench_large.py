@@ -51,7 +51,9 @@ def bench_aspirin():
     from sgdml_tpu.datasets.synthetic import generate_md_dataset
 
     ds = generate_md_dataset(n_atoms=21, n_frames=2200, seed=10)
-    task, model, t_train = _train(ds, 1000, sig=15.0, solver='cg', lam=1e-8)
+    task, model, t_train = _train(
+        ds, 1000, sig=15.0, solver='cg', lam=1e-8, max_seconds=1200
+    )
     mae, scale = _force_mae(ds, task, model)
     out = {
         'config': 'aspirin-sized N=21 M=1000 iterative (Nystrom-pCG)',
@@ -70,7 +72,9 @@ def bench_atat():
     from sgdml_tpu.datasets.synthetic import generate_md_dataset
 
     ds = generate_md_dataset(n_atoms=60, n_frames=1400, seed=11)
-    task, model, t_train = _train(ds, 600, sig=25.0, solver='cg')
+    task, model, t_train = _train(
+        ds, 600, sig=25.0, solver='cg', max_seconds=1200
+    )
     mae, scale = _force_mae(ds, task, model, n_test=300)
     out = {
         'config': 'AT-AT-sized N=60 M=600 iterative (Nystrom-pCG)',
