@@ -144,6 +144,72 @@ def _gemm_from_slices(sa, siga, sb, sigb, *, q, out_dtype,
     return out.astype(out_dtype)
 
 
+def split_global_int8(x64, n_slices: int = 8, q: int = Q_BITS):
+    """Globally-scaled int8 slice decomposition of an f64 matrix.
+
+    One power-of-two scale for the whole array (instead of per-row)
+    makes the slices valid for contraction along EITHER axis — one
+    stored decomposition serves both ``A v`` and ``A^T v``. Truncation
+    is ``2^{-q n_slices}`` of the global max (8 slices = 48 bits; used
+    for the Cholesky leaf inverses, whose application error is
+    amplified by cond(L_jj) and needs the extra headroom —
+    ops/pairchol.py). Returns ``(slices (S, m, k) int8, sigma scalar)``.
+    """
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    gmax = jnp.max(jnp.abs(hi))
+    _, e = jnp.frexp(jnp.maximum(gmax, jnp.finfo(jnp.float32).tiny))
+    sigma = jnp.exp2(e.astype(jnp.float32))
+    t = hi / sigma
+    n_hi = min(n_slices, 4)
+    slices, t = _extract_slices(t, n_hi, q)
+    if n_slices > n_hi:
+        t = t + (lo / sigma) * jnp.float32(2.0 ** (q * n_hi))
+        more, _ = _extract_slices(t, n_slices - n_hi, q)
+        slices += more
+    return jnp.stack(slices), sigma
+
+
+def matvec_sliced(sa, sigma, v, *, q: int = Q_BITS, transpose: bool = False):
+    """``A @ v`` (or ``A^T @ v``) from a global-scale slice stack.
+
+    v: f64 ``(k,)`` or ``(k, m)``; sliced on the fly (8 slices, global
+    scale). All slice products accumulate exactly in int32; level sums
+    recombine in f64. No f64 dot ever runs — nothing for XLA's f64
+    emulation to stage (the whole point: resident f64 leaf matrices had
+    their ~8x f32-split staging hoisted across the solve program).
+    """
+    n_a = sa.shape[0]
+    was_vec = v.ndim == 1
+    if was_vec:
+        v = v[:, None]
+    sv, sigv = split_global_int8(v, n_slices=8, q=q)
+    n_v = sv.shape[0]
+    keep = max(n_a, n_v)
+    dn = (((1,), (0,)), ((), ())) if not transpose else (
+        ((0,), (0,)), ((), ())
+    )
+    levels = [None] * keep
+    for i in range(n_a):
+        for j in range(n_v):
+            lv = i + j
+            if lv >= keep:
+                continue
+            p = jax.lax.dot_general(
+                sa[i], sv[j], dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            levels[lv] = p if levels[lv] is None else levels[lv] + p
+    acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
+    for lv in reversed(range(keep)):
+        if levels[lv] is not None:
+            acc = acc + levels[lv].astype(jnp.float64) * (
+                2.0 ** (-q * (lv + 2))
+            )
+    out = acc * sigma.astype(jnp.float64) * sigv.astype(jnp.float64)
+    return out[:, 0] if was_vec else out
+
+
 def ozaki_gemm_nt(a, b, *, n_slices: int = DEFAULT_SLICES, q: int = Q_BITS,
                   out_dtype=jnp.float64, lo_a=None, lo_b=None):
     """``(a + lo_a) @ (b + lo_b).T`` via exact int8 slice products.

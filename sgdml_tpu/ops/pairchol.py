@@ -231,6 +231,21 @@ def leaf_inverses(Lh, Ll):
     return [_leaf_inv(Lh[j][j], Ll[j][j]) for j in range(len(Lh))]
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _slice_leaf(dinv):
+    return ozaki.split_global_int8(dinv, n_slices=8)
+
+
+def slice_leaf_inverses(Dinv):
+    """Repack f64 leaf inverses as global-scale int8 slice stacks
+    (8 slices = 48 bits; same bytes as f64). The strip solve applies
+    them through exact int8 dots in either orientation — no resident
+    f64 matrix ever feeds a dot, so XLA's f64 emulation has nothing to
+    stage (measured: the staging of resident f64 leaf dots was hoisted
+    across the whole solve program). Consumes the f64 inverses."""
+    return [_slice_leaf(d) for d in Dinv]
+
+
 def strips_from_grid(Lh, Ll):
     """Repack the factor's OFF-DIAGONAL blocks into ragged column strips.
 
@@ -300,12 +315,25 @@ def _strip_tmv(strip, x, row0, b, m):
 
 
 def solve_strips(strips, Dinv, y):
-    """Solve ``(L L^T) x = y`` from column strips + f64 leaf inverses.
+    """Solve ``(L L^T) x = y`` from column strips + leaf inverses.
 
-    Pure and jit-safe INCLUDING inside while_loops: all factor reads go
-    through dynamic slices (see :func:`strips_from_grid`)."""
+    ``Dinv`` entries are either f64 matrices or ``(slices, sigma)``
+    int8 stacks from :func:`slice_leaf_inverses` (the production form —
+    zero f64-dot staging). Pure and jit-safe INCLUDING inside
+    while_loops: every factor read is a dynamic slice or an int8 dot
+    (see :func:`strips_from_grid`)."""
+    sliced = isinstance(Dinv[0], tuple)
+    b = Dinv[0][0].shape[1] if sliced else Dinv[0].shape[0]
     k = len(Dinv)
-    b = Dinv[0].shape[0]
+
+    def leaf(j, rhs, transpose):
+        if sliced:
+            sa, sig = Dinv[j]
+            return ozaki.matvec_sliced(sa, sig, rhs, transpose=transpose)
+        if transpose:
+            return jnp.einsum('rc,rm->cm', Dinv[j], rhs)
+        return Dinv[j] @ rhs
+
     was_vec = y.ndim == 1
     if was_vec:
         y = y[:, None]
@@ -315,7 +343,7 @@ def solve_strips(strips, Dinv, y):
     z = jnp.zeros_like(y)
     for j in range(k):
         yj = jax.lax.dynamic_slice(y, (j * b, 0), (b, m))
-        zj = Dinv[j] @ yj
+        zj = leaf(j, yj, False)
         z = jax.lax.dynamic_update_slice(z, zj, (j * b, 0))
         if strips[j] is not None:
             y = _strip_mv_sub(strips[j], zj, y, (j + 1) * b, b)
@@ -325,7 +353,7 @@ def solve_strips(strips, Dinv, y):
         rhs = jax.lax.dynamic_slice(z, (j * b, 0), (b, m))
         if strips[j] is not None:
             rhs = rhs - _strip_tmv(strips[j], x, (j + 1) * b, b, m)
-        xj = jnp.einsum('rc,rm->cm', Dinv[j], rhs)
+        xj = leaf(j, rhs, True)
         x = jax.lax.dynamic_update_slice(x, xj, (j * b, 0))
     return x[:, 0] if was_vec else x
 

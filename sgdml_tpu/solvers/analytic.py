@@ -184,7 +184,11 @@ def _pcg_pair(
     from .iterative import _matvec_A
 
     n = y.shape[0]
-    n_pad = len(Dinv) * Dinv[0].shape[0]
+    b_leaf = (
+        Dinv[0][0].shape[1] if isinstance(Dinv[0], tuple)
+        else Dinv[0].shape[0]
+    )
+    n_pad = len(Dinv) * b_leaf
 
     def A_apply(v):
         return _matvec_A(
@@ -533,6 +537,7 @@ class Analytic:
             Ll[j][j] = None
         strips = pairchol.strips_from_grid(Lh, Ll)
         del Lh, Ll
+        Dinv = pairchol.slice_leaf_inverses(Dinv)
         t_assemble = timeit.default_timer() - t0
         log.info(
             'Assembled+factorized %dx%d pair-precision (f32+bf16) triangle '

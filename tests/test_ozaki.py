@@ -100,3 +100,19 @@ def test_contraction_dim_guard():
     a = jnp.zeros((4, 2**19))
     with pytest.raises(ValueError):
         ozaki.ozaki_gemm_nt(a, a)
+
+
+def test_matvec_sliced_both_orientations():
+    """Global-scale slice stacks: A v and A^T v from ONE decomposition,
+    at ~2^-45 relative (48-bit slices on f64 input)."""
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((96, 64))
+    v1 = rng.standard_normal(64)
+    v2 = rng.standard_normal((96, 3))
+    sa, sig = ozaki.split_global_int8(jnp.asarray(A))
+    got = np.asarray(ozaki.matvec_sliced(sa, sig, jnp.asarray(v1)))
+    np.testing.assert_allclose(got, A @ v1, rtol=0, atol=1e-11 * np.abs(A @ v1).max() + 1e-12)
+    gotT = np.asarray(
+        ozaki.matvec_sliced(sa, sig, jnp.asarray(v2), transpose=True)
+    )
+    np.testing.assert_allclose(gotT, A.T @ v2, rtol=0, atol=1e-11 * np.abs(A.T @ v2).max() + 1e-12)
