@@ -186,19 +186,28 @@ def matvec_sliced(sa, sigma, v, *, q: int = Q_BITS, transpose: bool = False):
     sv, sigv = split_global_int8(v, n_slices=8, q=q)
     n_v = sv.shape[0]
     keep = max(n_a, n_v)
-    dn = (((1,), (0,)), ((), ())) if not transpose else (
-        ((0,), (0,)), ((), ())
-    )
     levels = [None] * keep
     for i in range(n_a):
         for j in range(n_v):
             lv = i + j
             if lv >= keep:
                 continue
-            p = jax.lax.dot_general(
-                sa[i], sv[j], dimension_numbers=dn,
-                preferred_element_type=jnp.int32,
-            )
+            if transpose:
+                # (v^T A)^T: transpose the SMALL v-slice, keep the
+                # resident matrix stack in standard orientation — a dot
+                # contracting the stack's first axis makes XLA hoist a
+                # persistent transposed copy of the whole stack.
+                p = jax.lax.dot_general(
+                    sv[j].T, sa[i],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                p = jax.lax.dot_general(
+                    sa[i], sv[j],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
             levels[lv] = p if levels[lv] is None else levels[lv] + p
     acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
     for lv in reversed(range(keep)):
@@ -206,6 +215,8 @@ def matvec_sliced(sa, sigma, v, *, q: int = Q_BITS, transpose: bool = False):
             acc = acc + levels[lv].astype(jnp.float64) * (
                 2.0 ** (-q * (lv + 2))
             )
+    if transpose:
+        acc = acc.T
     out = acc * sigma.astype(jnp.float64) * sigv.astype(jnp.float64)
     return out[:, 0] if was_vec else out
 

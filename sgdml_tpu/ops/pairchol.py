@@ -296,21 +296,28 @@ def _strip_mv_sub(strip, zj, y, row0, b):
     return jax.lax.fori_loop(0, n_blk, body, y)
 
 
-def _strip_tmv(strip, x, row0, b, m):
-    """``strip^T @ x[row0:]`` block-by-block; returns ``(b, m)``."""
+def _strip_tmv_rowmajor(strip, xT, row0, b):
+    """``(strip^T @ x[row0:])^T = x[row0:]^T @ strip`` block-by-block.
+
+    The caller carries the backward vector ROW-major (m, n): each block
+    contraction is then a standard-orientation matmul ``xT_c @ blk`` —
+    an einsum contracting the block's first axis would make XLA hoist a
+    persistent transposed layout copy of EVERY strip out of the CG loop
+    (measured: +11.3 GB at n = 63k). Returns ``(m, b)``."""
     hi, lo = strip
     n_blk = hi.shape[0] // b
+    m = xT.shape[0]
 
     def body(c, acc):
         blk = pair_to_f64(
             jax.lax.dynamic_slice(hi, (c * b, 0), (b, b)),
             jax.lax.dynamic_slice(lo, (c * b, 0), (b, b)),
         )
-        xc = jax.lax.dynamic_slice(x, (row0 + c * b, 0), (b, m))
-        return acc + jnp.einsum('rc,rm->cm', blk, xc)
+        xc = jax.lax.dynamic_slice(xT, (0, row0 + c * b), (m, b))
+        return acc + xc @ blk
 
     return jax.lax.fori_loop(
-        0, n_blk, body, jnp.zeros((b, m), jnp.float64)
+        0, n_blk, body, jnp.zeros((m, b), jnp.float64)
     )
 
 
@@ -347,14 +354,20 @@ def solve_strips(strips, Dinv, y):
         z = jax.lax.dynamic_update_slice(z, zj, (j * b, 0))
         if strips[j] is not None:
             y = _strip_mv_sub(strips[j], zj, y, (j + 1) * b, b)
-    # Backward.
-    x = jnp.zeros_like(z)
+    # Backward: x carried ROW-major so strip contractions stay in
+    # standard orientation (see _strip_tmv_rowmajor).
+    xT = jnp.zeros((m, z.shape[0]), jnp.float64)
     for j in reversed(range(k)):
-        rhs = jax.lax.dynamic_slice(z, (j * b, 0), (b, m))
+        rhsT = jnp.transpose(
+            jax.lax.dynamic_slice(z, (j * b, 0), (b, m))
+        )
         if strips[j] is not None:
-            rhs = rhs - _strip_tmv(strips[j], x, (j + 1) * b, b, m)
-        xj = leaf(j, rhs, True)
-        x = jax.lax.dynamic_update_slice(x, xj, (j * b, 0))
+            rhsT = rhsT - _strip_tmv_rowmajor(
+                strips[j], xT, (j + 1) * b, b
+            )
+        xj = leaf(j, jnp.transpose(rhsT), True)  # (b, m)
+        xT = jax.lax.dynamic_update_slice(xT, jnp.transpose(xj), (0, j * b))
+    x = jnp.transpose(xT)
     return x[:, 0] if was_vec else x
 
 
