@@ -166,70 +166,53 @@ def _pcg_chol(
 
 @functools.partial(
     jax.jit,
-    static_argnames=('n_atoms', 'desc_perms_key', 'max_iters', 'init'),
+    donate_argnums=(0,),
+    static_argnames=('n_atoms', 'desc_perms_key'),
 )
-def _pcg_pair(
-    state, strips, Dinv, X, Jc, y, sig, lam, rtol,
-    *, n_atoms, desc_perms_key, max_iters, init=False,
+def _pcg_pair_step(
+    state, strips, Dinv, X, Jc, sig, lam, *, n_atoms, desc_perms_key
 ):
-    """One chunk of refinement CG on the f64 system with the
-    pair-precision Cholesky preconditioner (ops/pairchol.py strips).
+    """ONE refinement-CG iteration (strips + int8 leaf stacks).
 
-    Safe inside the while_loop: every factor read in
-    ``pairchol.solve_strips`` is a dynamic slice, so XLA cannot hoist
-    pair->f64 conversions into persistent copies (the block-grid
-    formulation lost 16-64 GB to exactly that). Same driver contract as
-    :func:`_pcg_chol`.
+    Host-stepped: with the factor inside a while_loop XLA treats the
+    ~11 GB of strips as loop constants and emits compression-remat
+    copies of ALL of them (measured: 25 GB compile-time demand at
+    n=63k). As plain per-call arguments they are just parameters; the
+    per-program temp peak is one strip block's f64 staging plus the CG
+    vectors. The host driver syncs the residual only every few
+    iterations, so dispatch pipelines.
     """
     from .iterative import _matvec_A
 
-    n = y.shape[0]
-    b_leaf = (
-        Dinv[0][0].shape[1] if isinstance(Dinv[0], tuple)
-        else Dinv[0].shape[0]
-    )
+    x, r, z, p, rz = state
+    n = x.shape[0]
+    b_leaf = Dinv[0][0].shape[1]
     n_pad = len(Dinv) * b_leaf
 
-    def A_apply(v):
-        return _matvec_A(
-            v, X, Jc, X, Jc, sig, lam,
-            n_atoms=n_atoms, desc_perms_key=desc_perms_key,
-            use_E_cstr=False,
-        )
+    Ap = _matvec_A(
+        p, X, Jc, X, Jc, sig, lam,
+        n_atoms=n_atoms, desc_perms_key=desc_perms_key, use_E_cstr=False,
+    )
+    alpha = rz / (p @ Ap)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    rp = jnp.zeros((n_pad,), dtype=r.dtype)
+    rp = jax.lax.dynamic_update_slice(rp, r, (0,))
+    z = pairchol.solve_strips(strips, Dinv, rp)[:n]
+    rz_new = r @ z
+    beta = rz_new / rz
+    p = z + beta * p
+    return (x, r, z, p, rz_new), jnp.linalg.norm(r)
 
-    def M_apply(v):
-        vp = jnp.zeros((n_pad,), dtype=v.dtype)
-        vp = jax.lax.dynamic_update_slice(vp, v, (0,))
-        return pairchol.solve_strips(strips, Dinv, vp)[:n]
 
-    b_norm = jnp.linalg.norm(y)
-
-    def cond(carry):
-        _, r, _, _, _, it = carry
-        rn = jnp.linalg.norm(r)
-        return (it < max_iters) & (rn > rtol * b_norm) & jnp.isfinite(rn)
-
-    def body(carry):
-        x, r, z, p, rz, it = carry
-        Ap = A_apply(p)
-        alpha = rz / (p @ Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = M_apply(r)
-        rz_new = r @ z
-        beta = rz_new / rz
-        p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
-
-    if init:
-        x0 = jnp.zeros_like(y)
-        z0 = M_apply(y)
-        state = (x0, y, z0, z0, y @ z0, 0)
-    else:
-        x, r, z, p, rz, _ = state
-        state = (x, r, z, p, rz, 0)
-    out = jax.lax.while_loop(cond, body, state)
-    return out, jnp.linalg.norm(out[1])
+@jax.jit
+def _pcg_pair_start(strips, Dinv, y):
+    b_leaf = Dinv[0][0].shape[1]
+    n_pad = len(Dinv) * b_leaf
+    yp = jnp.zeros((n_pad,), dtype=y.dtype)
+    yp = jax.lax.dynamic_update_slice(yp, y, (0,))
+    z0 = pairchol.solve_strips(strips, Dinv, yp)[: y.shape[0]]
+    return (jnp.zeros_like(y), y, z0, z0, y @ z0)
 
 
 class Analytic:
@@ -548,23 +531,26 @@ class Analytic:
 
         t0 = timeit.default_timer()
         b_norm = max(float(np.linalg.norm(y)), 1e-300)
-        state, it, rel = None, 0, 1.0
-        chunk = 100
-        for _ in range(-(-PCG_MAX_ITERS // chunk)):
-            state, resid = _pcg_pair(
-                state, strips, Dinv, X64, Jc64, y_dev, sig, lam, PCG_RTOL,
+        state = _pcg_pair_start(strips, Dinv, y_dev)
+        it, rel, check = 0, 1.0, 10
+        while it < PCG_MAX_ITERS:
+            state, rn = _pcg_pair_step(
+                state, strips, Dinv, X64, Jc64, sig, lam,
                 n_atoms=n_atoms, desc_perms_key=perms_key,
-                max_iters=chunk, init=state is None,
             )
-            it_done = int(state[5])  # host sync per chunk
-            it += it_done
-            rel = float(resid) / b_norm
-            log.info(
-                'Refinement CG: %d iterations, relative residual %.2e '
-                '(%.1f s).', it, rel, timeit.default_timer() - t0,
-            )
-            if rel <= PCG_RTOL or it_done < chunk:
-                break
+            it += 1
+            if it % check == 0 or it == PCG_MAX_ITERS:
+                # device_get forces completion through the axon tunnel
+                # (block_until_ready does not); bounds the dispatch queue.
+                rel = float(jax.device_get(rn)) / b_norm
+                if it % 100 == 0:
+                    log.info(
+                        'Refinement CG: %d iterations, relative residual '
+                        '%.2e (%.1f s).', it, rel,
+                        timeit.default_timer() - t0,
+                    )
+                if rel <= PCG_RTOL or not np.isfinite(rel):
+                    break
         x = state[0]
         t_solve = timeit.default_timer() - t0
         log.info(
