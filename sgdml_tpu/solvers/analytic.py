@@ -165,54 +165,31 @@ def _pcg_chol(
 
 
 @functools.partial(
-    jax.jit,
-    donate_argnums=(0,),
-    static_argnames=('n_atoms', 'desc_perms_key'),
+    jax.jit, static_argnames=('n_atoms', 'desc_perms_key')
 )
-def _pcg_pair_step(
-    state, strips, Dinv, X, Jc, sig, lam, *, n_atoms, desc_perms_key
-):
-    """ONE refinement-CG iteration (strips + int8 leaf stacks).
-
-    Host-stepped: with the factor inside a while_loop XLA treats the
-    ~11 GB of strips as loop constants and emits compression-remat
-    copies of ALL of them (measured: 25 GB compile-time demand at
-    n=63k). As plain per-call arguments they are just parameters; the
-    per-program temp peak is one strip block's f64 staging plus the CG
-    vectors. The host driver syncs the residual only every few
-    iterations, so dispatch pipelines.
-    """
+def _amv(p, X, Jc, sig, lam, *, n_atoms, desc_perms_key):
+    """Jitted matrix-free f64 matvec of A = -K + lam I."""
     from .iterative import _matvec_A
 
-    x, r, z, p, rz = state
-    n = x.shape[0]
-    b_leaf = Dinv[0][0].shape[1]
-    n_pad = len(Dinv) * b_leaf
-
-    Ap = _matvec_A(
+    return _matvec_A(
         p, X, Jc, X, Jc, sig, lam,
         n_atoms=n_atoms, desc_perms_key=desc_perms_key, use_E_cstr=False,
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _cg_xr(x, r, p, rz, Ap):
     alpha = rz / (p @ Ap)
     x = x + alpha * p
     r = r - alpha * Ap
-    rp = jnp.zeros((n_pad,), dtype=r.dtype)
-    rp = jax.lax.dynamic_update_slice(rp, r, (0,))
-    z = pairchol.solve_strips(strips, Dinv, rp)[:n]
+    return x, r, jnp.linalg.norm(r)
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def _cg_p(r, z, p, rz):
     rz_new = r @ z
     beta = rz_new / rz
-    p = z + beta * p
-    return (x, r, z, p, rz_new), jnp.linalg.norm(r)
-
-
-@jax.jit
-def _pcg_pair_start(strips, Dinv, y):
-    b_leaf = Dinv[0][0].shape[1]
-    n_pad = len(Dinv) * b_leaf
-    yp = jnp.zeros((n_pad,), dtype=y.dtype)
-    yp = jax.lax.dynamic_update_slice(yp, y, (0,))
-    z0 = pairchol.solve_strips(strips, Dinv, yp)[: y.shape[0]]
-    return (jnp.zeros_like(y), y, z0, z0, y @ z0)
+    return z + beta * p, rz_new
 
 
 class Analytic:
@@ -511,15 +488,12 @@ class Analytic:
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
         Dinv = pairchol.leaf_inverses(Lh, Ll)
-        # The solve reads only off-diagonal pair blocks + the inverses;
-        # free the diagonal pairs (n*b*6 bytes — what keeps the whole
-        # working set inside the default budget at n = 63k) and repack
-        # the off-diagonals into ragged column strips.
+        # The solve reads only off-diagonal pair blocks + the int8 leaf
+        # stacks; free the diagonal pairs (n*b*6 bytes — what keeps the
+        # working set inside the default budget at n = 63k).
         for j in range(len(Lh)):
             Lh[j][j] = None
             Ll[j][j] = None
-        strips = pairchol.strips_from_grid(Lh, Ll)
-        del Lh, Ll
         Dinv = pairchol.slice_leaf_inverses(Dinv)
         t_assemble = timeit.default_timer() - t0
         log.info(
@@ -531,19 +505,29 @@ class Analytic:
 
         t0 = timeit.default_timer()
         b_norm = max(float(np.linalg.norm(y)), 1e-300)
-        state = _pcg_pair_start(strips, Dinv, y_dev)
+        # Host-composed CG: matvec / vector updates are single programs,
+        # the preconditioner apply is per-block host dispatch
+        # (pairchol.solve_grid_hoststep — see its rationale comment).
+        x = jnp.zeros_like(y_dev)
+        r = y_dev
+        z = pairchol.solve_grid_hoststep(Lh, Ll, Dinv, r)
+        p = jnp.copy(z)  # _cg_p donates p; keep z's buffer independent
+        rz = r @ z
         it, rel, check = 0, 1.0, 10
         while it < PCG_MAX_ITERS:
-            state, rn = _pcg_pair_step(
-                state, strips, Dinv, X64, Jc64, sig, lam,
+            Ap = _amv(
+                p, X64, Jc64, sig, lam,
                 n_atoms=n_atoms, desc_perms_key=perms_key,
             )
+            x, r, rn = _cg_xr(x, r, p, rz, Ap)
+            z = pairchol.solve_grid_hoststep(Lh, Ll, Dinv, r)
+            p, rz = _cg_p(r, z, p, rz)
             it += 1
             if it % check == 0 or it == PCG_MAX_ITERS:
                 # device_get forces completion through the axon tunnel
                 # (block_until_ready does not); bounds the dispatch queue.
                 rel = float(jax.device_get(rn)) / b_norm
-                if it % 100 == 0:
+                if it % 50 == 0:
                     log.info(
                         'Refinement CG: %d iterations, relative residual '
                         '%.2e (%.1f s).', it, rel,
@@ -551,7 +535,6 @@ class Analytic:
                     )
                 if rel <= PCG_RTOL or not np.isfinite(rel):
                     break
-        x = state[0]
         t_solve = timeit.default_timer() - t0
         log.info(
             'Refinement CG done: %d iterations, relative residual '
