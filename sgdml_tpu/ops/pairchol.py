@@ -371,6 +371,148 @@ def solve_strips(strips, Dinv, y):
     return x[:, 0] if was_vec else x
 
 
+# -- int8-sliced strips: the production solve representation -----------------
+#
+# The pair strips are further repacked as Ozaki int8 slice stacks
+# (7 slices, one power-of-two scale per strip): every factor contraction
+# in the CG-time solve is then an exact int8 MXU dot. Besides removing
+# all f64-dot emulation staging, int8 parameters give XLA's
+# compression-remat pass nothing to clone (it was duplicating the ~11 GB
+# of f32 strips even as plain program parameters), so the WHOLE CG
+# iteration compiles as one program — per-block host dispatch cost
+# ~5 ms/launch through the axon tunnel, i.e. ~2.3 s/iteration at k=20
+# (measured), where one fused program is bandwidth-bound.
+
+STRIP_SLICES = 7  # 42-bit coverage; sqrt(b) incoherent truncation ~2^-36
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _int8_strip(hi, lo):
+    return ozaki.split_global_int8(
+        pair_to_f64(hi, lo), n_slices=STRIP_SLICES
+    )
+
+
+def int8_strips(strips):
+    """Consume pair strips into (slices, sigma) int8 stacks."""
+    out = []
+    for s in strips:
+        if s is None:
+            out.append(None)
+            continue
+        out.append(_int8_strip(s[0], s[1]))
+    return out
+
+
+def _combine_levels(levels, sig_a, sig_b, q=ozaki.Q_BITS):
+    acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
+    for lv in reversed(range(len(levels))):
+        if levels[lv] is not None:
+            acc = acc + levels[lv].astype(jnp.float64) * (
+                2.0 ** (-q * (lv + 2))
+            )
+    return acc * sig_a.astype(jnp.float64) * sig_b.astype(jnp.float64)
+
+
+def _strip_apply_int8(sl, sigma, zj, y, row0, b):
+    """``y[row0:] -= strip @ zj`` with exact int8 block dots."""
+    S = sl.shape[0]
+    m = zj.shape[1]
+    svz, sigz = ozaki.split_global_int8(zj, n_slices=8)
+    n_blk = sl.shape[1] // b
+    keep = S  # pairs i + j < S: truncation ~ operand slicing level
+
+    def body(c, y):
+        blk = jax.lax.dynamic_slice(sl, (0, c * b, 0), (S, b, b))
+        levels = [None] * keep
+        for i in range(S):
+            for jv in range(svz.shape[0]):
+                lv = i + jv
+                if lv >= keep:
+                    continue
+                p = jax.lax.dot_general(
+                    blk[i], svz[jv],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                levels[lv] = p if levels[lv] is None else levels[lv] + p
+        upd = _combine_levels(levels, sigma, sigz)
+        r0 = row0 + c * b
+        yc = jax.lax.dynamic_slice(y, (r0, 0), (b, m))
+        return jax.lax.dynamic_update_slice(y, yc - upd, (r0, 0))
+
+    return jax.lax.fori_loop(0, n_blk, body, y)
+
+
+def _strip_tapply_int8(sl, sigma, xT, row0, b):
+    """``(strip^T x[row0:])^T`` row-major with exact int8 block dots."""
+    S = sl.shape[0]
+    m = xT.shape[0]
+    n_blk = sl.shape[1] // b
+    keep = S
+
+    def body(c, accT):
+        blk = jax.lax.dynamic_slice(sl, (0, c * b, 0), (S, b, b))
+        xc = jax.lax.dynamic_slice(xT, (0, row0 + c * b), (m, b))
+        sxc, sigx = ozaki.split_global_int8(xc, n_slices=8)
+        levels = [None] * keep
+        for jv in range(sxc.shape[0]):
+            for i in range(S):
+                lv = i + jv
+                if lv >= keep:
+                    continue
+                p = jax.lax.dot_general(
+                    sxc[jv], blk[i],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                levels[lv] = p if levels[lv] is None else levels[lv] + p
+        return accT + _combine_levels(levels, sigma, sigx)
+
+    return jax.lax.fori_loop(
+        0, n_blk, body, jnp.zeros((m, b), jnp.float64)
+    )
+
+
+def solve_strips_int8(sstrips, Dinv, y):
+    """Solve ``(L L^T) x = y`` from int8 strip stacks + int8 leaf
+    stacks. Pure, jit-safe, no f64 dots anywhere."""
+    k = len(Dinv)
+    b = Dinv[0][0].shape[1]
+    was_vec = y.ndim == 1
+    if was_vec:
+        y = y[:, None]
+    m = y.shape[1]
+    n_in = y.shape[0]
+    y = y.astype(jnp.float64)
+    if n_in < k * b:
+        yp = jnp.zeros((k * b, m), jnp.float64)
+        y = jax.lax.dynamic_update_slice(yp, y, (0, 0))
+    z = [None] * k
+    for j in range(k):
+        yj = jax.lax.dynamic_slice(y, (j * b, 0), (b, m))
+        z[j] = ozaki.matvec_sliced(Dinv[j][0], Dinv[j][1], yj)
+        if sstrips[j] is not None:
+            y = _strip_apply_int8(
+                sstrips[j][0], sstrips[j][1], z[j], y, (j + 1) * b, b
+            )
+    xT = jnp.zeros((m, k * b), jnp.float64)
+    for j in reversed(range(k)):
+        rhsT = jnp.transpose(z[j])
+        if sstrips[j] is not None:
+            rhsT = rhsT - _strip_tapply_int8(
+                sstrips[j][0], sstrips[j][1], xT, (j + 1) * b, b
+            )
+        xj = ozaki.matvec_sliced(
+            Dinv[j][0], Dinv[j][1], jnp.transpose(rhsT), transpose=True
+        )
+        xT = jax.lax.dynamic_update_slice(
+            xT, jnp.transpose(xj), (0, j * b)
+        )
+    x = jnp.transpose(xT)[:n_in]
+    return x[:, 0] if was_vec else x
+
+
 # -- host-stepped solve (per-block programs) ---------------------------------
 #
 # Every single-program formulation of the pair solve at n = 63k ran into

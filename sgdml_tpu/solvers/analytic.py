@@ -165,31 +165,42 @@ def _pcg_chol(
 
 
 @functools.partial(
-    jax.jit, static_argnames=('n_atoms', 'desc_perms_key')
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=('n_atoms', 'desc_perms_key'),
 )
-def _amv(p, X, Jc, sig, lam, *, n_atoms, desc_perms_key):
-    """Jitted matrix-free f64 matvec of A = -K + lam I."""
+def _pcg_pair_step(
+    state, sstrips, Dinv, X, Jc, sig, lam, *, n_atoms, desc_perms_key
+):
+    """ONE refinement-CG iteration: matrix-free f64 matvec + int8-strip
+    preconditioner solve, fused into a single program.
+
+    Host-stepped (not a while_loop) because XLA's compression-remat
+    pass clones large f32 while-loop constants; with the factor stored
+    as int8 slice stacks there is nothing to compress and the single
+    program is bandwidth-bound. The driver syncs every few iterations.
+    """
     from .iterative import _matvec_A
 
-    return _matvec_A(
+    x, r, z, p, rz = state
+    Ap = _matvec_A(
         p, X, Jc, X, Jc, sig, lam,
         n_atoms=n_atoms, desc_perms_key=desc_perms_key, use_E_cstr=False,
     )
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _cg_xr(x, r, p, rz, Ap):
     alpha = rz / (p @ Ap)
     x = x + alpha * p
     r = r - alpha * Ap
-    return x, r, jnp.linalg.norm(r)
-
-
-@functools.partial(jax.jit, donate_argnums=(2,))
-def _cg_p(r, z, p, rz):
+    z = pairchol.solve_strips_int8(sstrips, Dinv, r)
     rz_new = r @ z
     beta = rz_new / rz
-    return z + beta * p, rz_new
+    p = z + beta * p
+    return (x, r, z, p, rz_new), jnp.linalg.norm(r)
+
+
+@jax.jit
+def _pcg_pair_start(sstrips, Dinv, y):
+    z0 = pairchol.solve_strips_int8(sstrips, Dinv, y)
+    return (jnp.zeros_like(y), y, z0, z0, y @ z0)
 
 
 class Analytic:
@@ -488,12 +499,16 @@ class Analytic:
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
         Dinv = pairchol.leaf_inverses(Lh, Ll)
-        # The solve reads only off-diagonal pair blocks + the int8 leaf
-        # stacks; free the diagonal pairs (n*b*6 bytes — what keeps the
-        # working set inside the default budget at n = 63k).
+        # Repack everything the solve needs into int8 slice stacks: the
+        # off-diagonal blocks become per-column strips, the leaf
+        # inverses 8-slice stacks; the pair factor and the diagonal
+        # pairs are freed (what keeps the working set inside the budget
+        # at n = 63k).
         for j in range(len(Lh)):
             Lh[j][j] = None
             Ll[j][j] = None
+        sstrips = pairchol.int8_strips(pairchol.strips_from_grid(Lh, Ll))
+        del Lh, Ll
         Dinv = pairchol.slice_leaf_inverses(Dinv)
         t_assemble = timeit.default_timer() - t0
         log.info(
@@ -505,23 +520,13 @@ class Analytic:
 
         t0 = timeit.default_timer()
         b_norm = max(float(np.linalg.norm(y)), 1e-300)
-        # Host-composed CG: matvec / vector updates are single programs,
-        # the preconditioner apply is per-block host dispatch
-        # (pairchol.solve_grid_hoststep — see its rationale comment).
-        x = jnp.zeros_like(y_dev)
-        r = y_dev
-        z = pairchol.solve_grid_hoststep(Lh, Ll, Dinv, r)
-        p = jnp.copy(z)  # _cg_p donates p; keep z's buffer independent
-        rz = r @ z
+        state = _pcg_pair_start(sstrips, Dinv, y_dev)
         it, rel, check = 0, 1.0, 10
         while it < PCG_MAX_ITERS:
-            Ap = _amv(
-                p, X64, Jc64, sig, lam,
+            state, rn = _pcg_pair_step(
+                state, sstrips, Dinv, X64, Jc64, sig, lam,
                 n_atoms=n_atoms, desc_perms_key=perms_key,
             )
-            x, r, rn = _cg_xr(x, r, p, rz, Ap)
-            z = pairchol.solve_grid_hoststep(Lh, Ll, Dinv, r)
-            p, rz = _cg_p(r, z, p, rz)
             it += 1
             if it % check == 0 or it == PCG_MAX_ITERS:
                 # device_get forces completion through the axon tunnel
@@ -535,6 +540,7 @@ class Analytic:
                     )
                 if rel <= PCG_RTOL or not np.isfinite(rel):
                     break
+        x = state[0]
         t_solve = timeit.default_timer() - t0
         log.info(
             'Refinement CG done: %d iterations, relative residual '

@@ -112,3 +112,23 @@ def test_solve_strips_matches_grid_solve(factored):
     strips = pairchol.strips_from_grid(Lh_c, Ll_c)
     got = np.asarray(pairchol.solve_strips(strips, Dinv, jnp.asarray(y)))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_solve_strips_int8_matches_grid_solve(factored):
+    A, spec, Lh, Ll = factored
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal(spec.n)
+    Dinv = pairchol.leaf_inverses(Lh, Ll)
+    want = np.asarray(pairchol.solve_grid_pair(Lh, Ll, Dinv, jnp.asarray(y)))
+    Lh_c = [list(r) for r in Lh]
+    Ll_c = [list(r) for r in Ll]
+    sstrips = pairchol.int8_strips(pairchol.strips_from_grid(Lh_c, Ll_c))
+    Dsl = pairchol.slice_leaf_inverses(list(Dinv))
+    got = np.asarray(
+        pairchol.solve_strips_int8(sstrips, Dsl, jnp.asarray(y))
+    )
+    # int8-sliced application: ~2^-36 operand truncation, amplified by
+    # the fixture's cond=1e8 in the solve output (measured ~8e-8). As a
+    # CG preconditioner only operator-norm closeness matters.
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-5
