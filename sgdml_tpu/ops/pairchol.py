@@ -394,13 +394,22 @@ def _int8_strip(hi, lo):
 
 
 def int8_strips(strips):
-    """Consume pair strips into (slices, sigma) int8 stacks."""
+    """Consume pair strips into (slices, sigma) int8 stacks.
+
+    Frees each pair strip as it is converted (both representations of
+    the full factor alive at once would need ~24 GB at n = 63k); the
+    per-strip f64 intermediate is transient (donated)."""
     out = []
-    for s in strips:
+    for idx in range(len(strips)):
+        s = strips[idx]
         if s is None:
             out.append(None)
             continue
+        strips[idx] = None
         out.append(_int8_strip(s[0], s[1]))
+        del s
+        # Throttle: a queued conversion holds its donated pair strip.
+        sync(out[-1][0])
     return out
 
 
