@@ -121,7 +121,7 @@ def bench_aspirin_analytic():
     task, model, t_train = _train(ds, 1000, sig=20.0, solver='analytic')
     mae, scale = _force_mae(ds, task, model)
     out = {
-        'config': 'aspirin-sized N=21 M=1000 analytic (f32 grid + refine-CG)',
+        'config': 'aspirin-sized N=21 M=1000 analytic (pair-precision chol + refine-CG)',
         'train_s': round(t_train, 2),
         'force_mae': round(mae, 5),
         'force_scale': round(scale, 4),
