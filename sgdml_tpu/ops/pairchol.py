@@ -17,18 +17,21 @@ factorizes with errors at the pair-storage floor:
 * diagonal leaf Cholesky in true f64 (small: one ``(b, b)`` block);
 * panel solves by f32 substitution + Ozaki-residual iterative
   refinement (convergence factor ``eps32 * cond(L_jj)``);
-* the CG-time preconditioner application keeps pair precision by
-  converting blocks to f64 on the fly and applying precomputed **f64
-  leaf inverses** (no sequential leaf triangular solves on the hot
-  path). The application must be pair-accurate: an f32-applied factor
-  would re-introduce the 2 eps32 ||A|| floor regardless of how well L
-  was computed.
+* the CG-time preconditioner application keeps pair precision through
+  **int8 slice stacks**: the factor's off-diagonal blocks become
+  7-slice column strips (:func:`int8_strips`) and the precomputed leaf
+  inverses 8-slice stacks (:func:`slice_leaf_inverses`) — every hot
+  contraction is an exact int8 MXU dot, with no sequential triangular
+  solves and no f64 dots (whose XLA emulation staging and
+  compression-remat cloning made every f32/f64 formulation exceed HBM
+  at n = 63k; war stories in BENCH_NOTES.md). The application must be
+  pair-accurate: an f32-applied factor would re-introduce the
+  2 eps32 ||A|| floor regardless of how well L was computed.
 
-Everything is host-sequenced like blockchol (a handful of compiled
-program shapes, donated blocks); the solve is called once per CG
-iteration from a host loop — inside a ``while_loop`` XLA would hoist
-the loop-invariant pair->f64 conversions into ~16 GB of persistent f64
-copies.
+The factorization is host-sequenced like blockchol (a handful of
+compiled program shapes, donated blocks); the CG-time solve
+(:func:`solve_strips_int8`) is one pure jit-safe function, called once
+per host-stepped CG iteration.
 
 Reference counterpart: scipy ``cho_factor/cho_solve`` on a dense f64
 host matrix (sgdml/solvers/analytic.py:94-99).
@@ -520,88 +523,6 @@ def solve_strips_int8(sstrips, Dinv, y):
         )
     x = jnp.transpose(xT)[:n_in]
     return x[:, 0] if was_vec else x
-
-
-# -- host-stepped solve (per-block programs) ---------------------------------
-#
-# Every single-program formulation of the pair solve at n = 63k ran into
-# XLA:TPU compile-time HBM accounting: (a) the block-grid form staged all
-# pair->f64 conversions concurrently (64 GB), (b) optimization barriers
-# order consumers but not the f64-dot emulation staging, (c) with column
-# strips as while-loop constants OR EVEN as plain parameters of one
-# program, a compression-remat pass cloned all ~11 GB of f32 strips
-# (23-25 GB). Host-stepping sidesteps the accounting entirely: each
-# substitution step is its OWN program over one (b, b) pair block, so
-# the compiler never sees more than ~one block of staging; dispatch is
-# asynchronous and pipelines. Three program shapes total.
-
-
-@functools.partial(jax.jit, donate_argnums=(3,))
-def _hs_fwd_blk(hi, lo, zj, ycur):
-    """ycur -= (hi + lo) @ zj (one off-diagonal block, forward pass)."""
-    return ycur - pair_to_f64(hi, lo) @ zj
-
-
-@functools.partial(jax.jit, donate_argnums=(3,))
-def _hs_bwd_blk(hi, lo, xTi, accT):
-    """accT -= xTi @ (hi + lo): standard orientation (the row-major
-    carry avoids a transposed layout copy of the block)."""
-    return accT - xTi @ pair_to_f64(hi, lo)
-
-
-@jax.jit
-def _hs_leaf(sa, sigma, rhs):
-    return ozaki.matvec_sliced(sa, sigma, rhs)
-
-
-@jax.jit
-def _hs_leaf_t_rowmajor(sa, sigma, rhsT):
-    out = ozaki.matvec_sliced(sa, sigma, rhsT.T, transpose=True)
-    return out.T
-
-
-@functools.partial(jax.jit, static_argnames=('k', 'b'))
-def _hs_split(y, k, b):
-    n_pad = k * b
-    yp = jnp.zeros((n_pad, y.shape[1]), y.dtype)
-    yp = jax.lax.dynamic_update_slice(yp, y, (0, 0))
-    return tuple(
-        jax.lax.dynamic_slice(yp, (j * b, 0), (b, y.shape[1]))
-        for j in range(k)
-    )
-
-
-@functools.partial(jax.jit, static_argnames=('n',))
-def _hs_concat(blocks, n):
-    return jnp.concatenate(blocks, axis=0)[:n]
-
-
-def solve_grid_hoststep(Lh, Ll, Dinv, y):
-    """Pair-accurate ``(L L^T)^{-1} y`` via host-dispatched per-block
-    programs. ``Lh``/``Ll``: off-diagonal grid blocks (diagonal entries
-    unused); ``Dinv``: int8 slice stacks from
-    :func:`slice_leaf_inverses`. y: device ``(n,)`` or ``(n, m)``.
-    Returns a device array; nothing here synchronizes the host."""
-    k = len(Dinv)
-    b = Dinv[0][0].shape[1]
-    was_vec = y.ndim == 1
-    if was_vec:
-        y = y[:, None]
-    n = y.shape[0]
-    yb = list(_hs_split(y.astype(jnp.float64), k, b))
-    z = [None] * k
-    for j in range(k):
-        z[j] = _hs_leaf(Dinv[j][0], Dinv[j][1], yb[j])
-        for i in range(j + 1, k):
-            yb[i] = _hs_fwd_blk(Lh[i][j], Ll[i][j], z[j], yb[i])
-    xT = [None] * k
-    for j in reversed(range(k)):
-        accT = jnp.transpose(z[j])
-        for i in range(j + 1, k):
-            accT = _hs_bwd_blk(Lh[i][j], Ll[i][j], xT[i], accT)
-        xT[j] = _hs_leaf_t_rowmajor(Dinv[j][0], Dinv[j][1], accT)
-    out = _hs_concat(tuple(jnp.transpose(t) for t in xT), n)
-    return out[:, 0] if was_vec else out
 
 
 def _seq(block, dep):
