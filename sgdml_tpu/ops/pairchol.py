@@ -389,8 +389,11 @@ def solve_strips(strips, Dinv, y):
 STRIP_SLICES = 7  # 42-bit coverage; sqrt(b) incoherent truncation ~2^-36
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
+@jax.jit
 def _int8_strip(hi, lo):
+    # No donation: the int8 outputs cannot reuse f32/bf16 buffers; the
+    # caller drops its references and the host-level sync below bounds
+    # how long the pair strip outlives the conversion.
     return ozaki.split_global_int8(
         pair_to_f64(hi, lo), n_slices=STRIP_SLICES
     )
