@@ -242,12 +242,35 @@ class Analytic:
             Analytic.est_memory_requirement(n_train, n_atoms) > budget
             and not use_E_cstr
         ):
-            if Analytic.est_memory_pair(n_train, n_atoms) <= budget:
+            # Route by conditioning: the f32 grid's factor is ~5x
+            # cheaper, and with lam >= ~1e-7 lmax its unshifted (or
+            # first-rung) factorization holds, so CG is short either
+            # way. The pair path pays its costlier factor off only when
+            # lam sits far below the f32 floor (then its lam' is 100x
+            # smaller -> ~10x fewer CG iterations; measured 160 vs 1671
+            # at n=63k, BENCH_NOTES.md).
+            dperms0 = np.asarray(desc_perms)
+            pk = (
+                np.ascontiguousarray(dperms0.astype(np.int64)).tobytes(),
+                dperms0.shape,
+            )
+            lmax = float(
+                _lmax_power(
+                    jnp.asarray(R_desc), jnp.asarray(R_d_desc), sig, lam,
+                    n_atoms=n_atoms, desc_perms_key=pk,
+                )
+            )
+            if (
+                lam < 1e-7 * lmax
+                and Analytic.est_memory_pair(n_train, n_atoms) <= budget
+            ):
                 return self._solve_pair_pcg(
-                    task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
+                    task, R_desc, R_d_desc, desc_perms, y, sig, lam,
+                    n_atoms, lmax=lmax,
                 )
             return self._solve_tree_pcg(
-                task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
+                task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
+                lmax=lmax,
             )
 
         t0 = timeit.default_timer()
@@ -327,7 +350,8 @@ class Analytic:
         return np.asarray(alphas)
 
     def _solve_tree_pcg(
-        self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
+        self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
+        lmax=None,
     ):
         """Large-system closed-form solve: f32 block-grid Cholesky
         preconditioner + f64 matrix-free refinement CG (module docstring)."""
@@ -348,12 +372,13 @@ class Analytic:
         )
 
         t0 = timeit.default_timer()
-        lmax = float(
-            _lmax_power(
-                X64, Jc64, sig, lam,
-                n_atoms=n_atoms, desc_perms_key=perms_key,
+        if lmax is None:
+            lmax = float(
+                _lmax_power(
+                    X64, Jc64, sig, lam,
+                    n_atoms=n_atoms, desc_perms_key=perms_key,
+                )
             )
-        )
 
         # lam' ladder: raise the preconditioner shift until the f32
         # factorization stays positive. The preconditioned condition number
@@ -427,7 +452,7 @@ class Analytic:
 
     def _solve_pair_pcg(
         self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
-        target_block: int = 4096, assembly: str = 'f64',
+        target_block: int = 4096, assembly: str = 'f64', lmax=None,
     ):
         """Large-system closed-form solve, pair-precision variant: the
         (f32, bf16) block Cholesky with Ozaki int8 updates
@@ -452,12 +477,13 @@ class Analytic:
         )
 
         t0 = timeit.default_timer()
-        lmax = float(
-            _lmax_power(
-                X64, Jc64, sig, lam,
-                n_atoms=n_atoms, desc_perms_key=perms_key,
+        if lmax is None:
+            lmax = float(
+                _lmax_power(
+                    X64, Jc64, sig, lam,
+                    n_atoms=n_atoms, desc_perms_key=perms_key,
+                )
             )
-        )
 
         # lam' ladder, starting near the pair-storage floor (~2^-33
         # lmax) plus assembly noise; each failed rung costs one
