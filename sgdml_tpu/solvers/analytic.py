@@ -496,6 +496,7 @@ class Analytic:
             shifts = shifts[1:]
         for shift in shifts:
             lam_p = max(lam, shift * lmax)
+            ts = timeit.default_timer()
             if assembly == 'f64':
                 # True-pair entries (~33 bits): the lam' floor is the
                 # pair-storage limit, not f32 assembly entry noise.
@@ -510,9 +511,17 @@ class Analytic:
                 Ghi, Glo = pairchol.grid_pair_from_f32(A32)
                 del A32
             Ghi, Glo = pairchol.grid_pair_diag_add(Ghi, Glo, lam_p)
+            t_asm = timeit.default_timer() - ts
+            ts = timeit.default_timer()
             Lh_try, Ll_try = pairchol.chol_grid_pair(Ghi, Glo)
             del Ghi, Glo
-            if bool(pairchol.grid_pair_isfinite(Lh_try)):
+            ok = bool(pairchol.grid_pair_isfinite(Lh_try))
+            log.debug(
+                "pair rung lam'=%g: assembly %.1f s, factorization %.1f s "
+                '(%s).', lam_p, t_asm, timeit.default_timer() - ts,
+                'ok' if ok else 'indefinite',
+            )
+            if ok:
                 Lh, Ll, lam_p_used = Lh_try, Ll_try, lam_p
                 break
             del Lh_try, Ll_try
@@ -524,6 +533,7 @@ class Analytic:
             return self._solve_tree_pcg(
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
+        ts = timeit.default_timer()
         Dinv = pairchol.leaf_inverses(Lh, Ll)
         # Repack everything the solve needs into int8 slice stacks: the
         # off-diagonal blocks become per-column strips, the leaf
@@ -536,6 +546,10 @@ class Analytic:
         sstrips = pairchol.int8_strips(pairchol.strips_from_grid(Lh, Ll))
         del Lh, Ll
         Dinv = pairchol.slice_leaf_inverses(Dinv)
+        log.debug(
+            'leaf inverses + int8 repack: %.1f s.',
+            timeit.default_timer() - ts,
+        )
         t_assemble = timeit.default_timer() - t0
         log.info(
             'Assembled+factorized %dx%d pair-precision (f32+bf16) triangle '
