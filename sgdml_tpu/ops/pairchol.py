@@ -414,8 +414,10 @@ def int8_strips(strips):
         strips[idx] = None
         out.append(_int8_strip(s[0], s[1]))
         del s
-        # Throttle: a queued conversion holds its donated pair strip.
-        sync(out[-1][0])
+        # Throttle every few strips: queued conversions hold their pair
+        # inputs (a per-strip sync costs a tunnel round-trip each).
+        if idx % 4 == 3:
+            sync(out[-1][0])
     return out
 
 
