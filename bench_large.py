@@ -26,7 +26,10 @@ def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
            max_seconds=None):
     from sgdml_tpu.train import GDMLTrain
 
-    trainer = GDMLTrain()
+    # The chip has 15.7 GiB usable (BENCH_NOTES.md); the framework's
+    # conservative 12 GiB default would route M=1000-class analytic
+    # training to the f32-grid path instead of the pair path.
+    trainer = GDMLTrain(max_memory=15.5)
     np.random.seed(1)
     task = trainer.create_task(
         ds, m_train, ds, 200, sig=sig, lam=lam, use_sym=use_sym, use_E=True

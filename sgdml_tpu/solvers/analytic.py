@@ -600,11 +600,14 @@ class Analytic:
 
     @staticmethod
     def est_memory_pair(n_train, n_atoms):
-        """Bytes for the pair-precision path: 6 B/elem packed pair
-        triangle (diagonal blocks freed after leaf inversion) + f64
-        leaf inverses + block transients."""
+        """Bytes for the pair-precision path. Peak = CG phase: 7-slice
+        int8 strips (3.5 B/elem over the full square) + 8-slice int8
+        leaf inverses + transients. At n = 63k this is ~15 GB — above
+        the conservative 12 GiB default budget; callers that know the
+        real HBM (e.g. bench configs on a 16 GB chip) pass a larger
+        ``max_memory`` to unlock it."""
         n = (-(-n_train // 8) * 8) * 3 * n_atoms
-        return int(3 * n**2 + 2 * n * 4224 + 4e8)
+        return int(3.5 * n**2 + 8 * n * 3456 + 3e8)
 
     @staticmethod
     def est_memory_requirement(n_train, n_atoms):
