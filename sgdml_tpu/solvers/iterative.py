@@ -626,10 +626,14 @@ class Iterative:
             # (iterative.py:775-777). The hard ceiling is n_train:
             # inducing columns are drawn without replacement from the
             # n_train*3N force columns.
+            # Restarts stay within the SAME budget as the initial build:
+            # with a hardware-true budget the old 1.5x headroom made the
+            # k-grown factor rebuild exceed real HBM (measured
+            # ResourceExhausted at k=125, n=63000, budget 15.5 GiB).
             grow_cap = min(
                 n_train,
                 Iterative.max_n_inducing_pts(
-                    n_train, n_atoms, 1.5 * self._max_memory * 1024**3
+                    n_train, n_atoms, self._max_memory * 1024**3
                 ),
             )
             if eff <= EFF_RESTART_THRESH:
