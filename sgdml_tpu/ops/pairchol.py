@@ -52,10 +52,17 @@ __all__ = [
     'pair_split',
     'pair_to_f64',
     'grid_pair_from_f32',
+    'grid_pair_from_dense64',
+    'grid_pair_diag_add',
+    'grid_pair_isfinite',
     'chol_grid_pair',
     'leaf_inverses',
+    'slice_leaf_inverses',
+    'strips_from_grid',
+    'int8_strips',
     'solve_grid_pair',
-    'grid_pair_isfinite',
+    'solve_strips',
+    'solve_strips_int8',
 ]
 
 LO_DTYPE = jnp.bfloat16
