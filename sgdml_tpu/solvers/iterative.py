@@ -195,14 +195,15 @@ def _pcg_chunk(
         # PSD guard: at large k the Woodbury correction cancels to
         # ~lam * ||v|| and f64 rounding can push I - F^T F (hence r.z)
         # slightly negative, which sends plain PCG to NaN and trips the
-        # stall detector. Fall back to an unpreconditioned step for
-        # such iterations (flexible-PCG style) instead of diverging.
+        # stall detector. Fall back to an unpreconditioned step AND
+        # restart the search direction (beta = 0): carrying a beta that
+        # mixes the two inner products destroys conjugacy.
         bad = jnp.logical_not(rz_new > 0) | jnp.logical_not(
             jnp.isfinite(rz_new)
         )
         z = jnp.where(bad, r, z)
         rz_new = jnp.where(bad, r @ r, rz_new)
-        beta = rz_new / rz
+        beta = jnp.where(bad, 0.0, rz_new / rz)
         p = z + beta * p
         hist = hist.at[it].set(jnp.linalg.norm(r))
         return (x, r, z, p, rz_new, it + 1, hist)
