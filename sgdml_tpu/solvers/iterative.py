@@ -449,7 +449,10 @@ class Iterative:
         max_n_ind = Iterative.max_n_inducing_pts(
             n_train, n_atoms, self._max_memory * 1024**3
         )
-        n_inducing_pts = min(n_train, max_n_ind)
+        # Start BELOW the memory cap so two 1.2x stall-restart growth
+        # steps fit inside the SAME budget (the former 1.5x restart
+        # headroom exceeded real HBM at a hardware-true budget).
+        n_inducing_pts = min(n_train, max(1, int(max_n_ind / 1.44)))
 
         # Warm start (resume) support.
         alphas0_F = task.get('alphas0_F')

@@ -68,7 +68,7 @@ def test_resume_warm_start(ds, models):
     assert m2['solver_resid'] <= m2['solver_tol'] * m2['norm_y_train']
 
 
-def _stall_solve(ds, monkeypatch, max_memory):
+def _stall_solve(ds, monkeypatch, max_memory, max_restarts=3):
     """Run a solve whose effectiveness monitor reports a stall after every
     chunk (threshold forced to 100), with a tolerance too tight to reach —
     so the restart machinery must fire and must terminate the solve."""
@@ -76,7 +76,7 @@ def _stall_solve(ds, monkeypatch, max_memory):
 
     monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 4)
     monkeypatch.setattr(it_mod, 'EFF_RESTART_THRESH', 100)
-    monkeypatch.setattr(it_mod, 'MAX_NUM_RESTARTS', 3)
+    monkeypatch.setattr(it_mod, 'MAX_NUM_RESTARTS', max_restarts)
     monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
 
     trainer = GDMLTrain(max_memory=max_memory)
@@ -112,7 +112,8 @@ def test_cg_restart_grows_k_and_terminates(ds, monkeypatch, caplog):
     import logging
 
     with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
-        # 0.005 GB: initial k=8, growth headroom (1.5x budget) to 12.
+        # The solver starts at cap/1.44, leaving two 1.2x growth steps
+        # of headroom WITHIN the same memory budget.
         k_init, out = _stall_solve(ds, monkeypatch, max_memory=0.005)
     alphas, tol, num_iters, resid, train_rmse, ind_idxs, is_conv = out
 
@@ -122,9 +123,11 @@ def test_cg_restart_grows_k_and_terminates(ds, monkeypatch, caplog):
     assert num_iters <= 5 * 5
     restarts = [r for r in caplog.records if 'restarting with k=' in r.message]
     assert restarts, 'no preconditioner-strengthening restart fired'
-    # k actually grew beyond the initial memory-formula cap.
+    # k actually grew beyond the solver's initial (below-cap) choice,
+    # while staying within the budget cap.
     dim_i = 3 * ds['R'].shape[1]
-    assert len(ind_idxs) // dim_i > k_init
+    assert len(ind_idxs) // dim_i > max(1, int(k_init / 1.44))
+    assert len(ind_idxs) // dim_i <= k_init
 
 
 def test_cg_restart_bounded_at_memory_cap(ds, monkeypatch, caplog):
@@ -134,14 +137,18 @@ def test_cg_restart_bounded_at_memory_cap(ds, monkeypatch, caplog):
     import logging
 
     with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
-        # Ample budget: initial k == n_train == grow cap, so growth is
-        # impossible and the stall must take the bounded re-seed branch.
-        grow_cap, out = _stall_solve(ds, monkeypatch, max_memory=0.02)
+        # The solver starts at cap/1.44 and grows 1.2x per stall; after
+        # ~2 growth steps k hits the budget cap and further stalls must
+        # take the bounded re-seed branch (needs restarts beyond the
+        # growth steps).
+        grow_cap, out = _stall_solve(
+            ds, monkeypatch, max_memory=0.02, max_restarts=5
+        )
     alphas, tol, num_iters, resid, train_rmse, ind_idxs, is_conv = out
 
     assert not is_conv
     assert np.isfinite(alphas).all()
-    assert num_iters <= 5 * 5, 'solve was not bounded by MAX_NUM_RESTARTS'
+    assert num_iters <= 5 * 7, 'solve was not bounded by MAX_NUM_RESTARTS'
     reseeds = [r for r in caplog.records if 'memory cap' in r.message]
     assert reseeds, 'cap-bounded re-seed branch never fired'
 
