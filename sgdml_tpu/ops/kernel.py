@@ -709,7 +709,9 @@ def assemble_kernel_grid(
     Jc = jnp.pad(Jc, ((0, m_padded - m), (0, 0), (0, 0)))
     perms_key = _perms_key(desc_perms)
 
-    def block(i, j):
+    from .blockchol import sync
+
+    def block(i, j, seq):
         out = _assemble_block_jit(
             X, Jc, sig, i * b_pts, j * b_pts, m,
             n_atoms=n_atoms,
@@ -720,14 +722,17 @@ def assemble_kernel_grid(
             tile_j=tile_j,
             diag=(i == j),
         )
-        # Throttle dispatch: each in-flight block program holds its scan
-        # scratch; an unbounded async queue of them exhausts HBM.
-        from .blockchol import sync
-
-        sync(out)
+        # Throttle dispatch every few blocks: each in-flight block
+        # program holds its scan scratch, but a host sync is a tunnel
+        # round-trip (~0.2 s; a per-block sync dominated assembly time).
+        if seq % 8 == 7:
+            sync(out)
         return out
 
-    return [[block(i, j) for j in range(i + 1)] for i in range(spec.k)]
+    return [
+        [block(i, j, i * (i + 1) // 2 + j) for j in range(i + 1)]
+        for i in range(spec.k)
+    ]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -772,7 +777,7 @@ def assemble_kernel_grid_pair(
 
     from .blockchol import sync
 
-    def block(i, j):
+    def block(i, j, seq):
         out = _assemble_block_jit(
             X, Jc, sig, i * b_pts, j * b_pts, m,
             n_atoms=n_atoms,
@@ -784,10 +789,15 @@ def assemble_kernel_grid_pair(
             diag=(i == j),
         )
         hi, lo = _pair_split_blk(out)
-        sync(hi)
+        # Sync every few blocks (round-trip cost; see assemble_kernel_grid).
+        if seq % 8 == 7:
+            sync(hi)
         return hi, lo
 
-    pairs = [[block(i, j) for j in range(i + 1)] for i in range(spec.k)]
+    pairs = [
+        [block(i, j, i * (i + 1) // 2 + j) for j in range(i + 1)]
+        for i in range(spec.k)
+    ]
     Ghi = [[p[0] for p in row] for row in pairs]
     Glo = [[p[1] for p in row] for row in pairs]
     return Ghi, Glo
