@@ -238,10 +238,16 @@ class Analytic:
             )
 
         budget = self._max_memory * 1024**3
+        # Route away from dense f64 by TIME as well as memory: emulated
+        # f64 Cholesky runs at 0.18 TFLOP/s on this hardware (measured
+        # 533 s at n=12,600 where the f32-grid path takes 28 s and the
+        # pair path less), so anything beyond ~8k unknowns prefers the
+        # factored-precision paths even when dense f64 would fit.
+        n_total = n_train * 3 * n_atoms
         if (
             Analytic.est_memory_requirement(n_train, n_atoms) > budget
-            and not use_E_cstr
-        ):
+            or n_total > 8192
+        ) and not use_E_cstr:
             # Route by conditioning: the f32 grid's factor is ~5x
             # cheaper, and with lam >= ~1e-7 lmax its unshifted (or
             # first-rung) factorization holds, so CG is short either
