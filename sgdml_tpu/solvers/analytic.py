@@ -495,7 +495,6 @@ class Analytic:
         # lmax) plus assembly noise; each failed rung costs one
         # assembly + partial factorization (fails fast on the first
         # indefinite leaf).
-        Lh = Ll = None
         lam_p_used = None
         shifts = [0.0, 3e-9, 3e-8, 3e-7, 3e-6]
         if lam < 1e-9 * lmax:
@@ -519,19 +518,27 @@ class Analytic:
             Ghi, Glo = pairchol.grid_pair_diag_add(Ghi, Glo, lam_p)
             t_asm = timeit.default_timer() - ts
             ts = timeit.default_timer()
-            Lh_try, Ll_try = pairchol.chol_grid_pair(Ghi, Glo)
+            # Factorize straight into the int8 solve representation:
+            # each column repacks (and its leaf inverts) the moment the
+            # right-looking sweep finalizes it.
+            sstrips_try, Dinv_try, ok_dev = pairchol.chol_factor_int8(
+                Ghi, Glo
+            )
             del Ghi, Glo
-            ok = bool(pairchol.grid_pair_isfinite(Lh_try))
+            ok = bool(ok_dev)
             log.debug(
-                "pair rung lam'=%g: assembly %.1f s, factorization %.1f s "
-                '(%s).', lam_p, t_asm, timeit.default_timer() - ts,
+                "pair rung lam'=%g: assembly %.1f s, factorize+repack "
+                '%.1f s (%s).', lam_p, t_asm,
+                timeit.default_timer() - ts,
                 'ok' if ok else 'indefinite',
             )
             if ok:
-                Lh, Ll, lam_p_used = Lh_try, Ll_try, lam_p
+                sstrips, Dinv, lam_p_used = sstrips_try, Dinv_try, lam_p
                 break
-            del Lh_try, Ll_try
-        if Lh is None:
+            del sstrips_try, Dinv_try
+        else:
+            sstrips = None
+        if sstrips is None:
             log.warning(
                 'Pair-precision factorization failed at every lam\' rung; '
                 'falling back to the f32 grid solver.'
@@ -539,23 +546,6 @@ class Analytic:
             return self._solve_tree_pcg(
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
-        ts = timeit.default_timer()
-        Dinv = pairchol.leaf_inverses(Lh, Ll)
-        # Repack everything the solve needs into int8 slice stacks: the
-        # off-diagonal blocks become per-column strips, the leaf
-        # inverses 8-slice stacks; the pair factor and the diagonal
-        # pairs are freed (what keeps the working set inside the budget
-        # at n = 63k).
-        for j in range(len(Lh)):
-            Lh[j][j] = None
-            Ll[j][j] = None
-        sstrips = pairchol.int8_strips(pairchol.strips_from_grid(Lh, Ll))
-        del Lh, Ll
-        Dinv = pairchol.slice_leaf_inverses(Dinv)
-        log.debug(
-            'leaf inverses + int8 repack: %.1f s.',
-            timeit.default_timer() - ts,
-        )
         t_assemble = timeit.default_timer() - t0
         log.info(
             'Assembled+factorized %dx%d pair-precision (f32+bf16) triangle '
