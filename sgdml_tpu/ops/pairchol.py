@@ -234,64 +234,6 @@ def chol_grid_pair(Ghi, Glo, sync_every: int = 16):
     return Lh, Ll
 
 
-def chol_factor_int8(Ghi, Glo, sync_every: int = 16):
-    """Factorize a pair grid and emit the solve representation directly.
-
-    Right-looking Cholesky finalizes column ``j`` at the end of step
-    ``j`` (trailing updates only touch columns > j), so each column is
-    repacked to its int8 strip — and its diagonal inverted and sliced —
-    as soon as it is final, overlapping the repack with the remaining
-    factorization and freeing the pair blocks incrementally (a separate
-    repack pass cost ~26 s of syncs/traffic at n = 63k and kept two
-    full factor representations alive).
-
-    Consumes ``(Ghi, Glo)``. Returns ``(sstrips, Dinv, ok)`` where
-    ``sstrips``/``Dinv`` feed :func:`solve_strips_int8` and ``ok`` is
-    False if the matrix was not SPD at pair precision (int8 stacks are
-    always finite, so the flag is accumulated from the f64 leaf
-    factors).
-    """
-    k = len(Ghi)
-    Lh = [list(row) for row in Ghi]
-    Ll = [list(row) for row in Glo]
-    sstrips = [None] * k
-    Dinv = [None] * k
-    ok = jnp.bool_(True)
-    pending = 0
-    for j in range(k):
-        Lh[j][j], Ll[j][j] = _diag_chol_pair(Lh[j][j], Ll[j][j])
-        ok = ok & jnp.all(jnp.isfinite(Lh[j][j]))
-        for i in range(j + 1, k):
-            Lh[i][j], Ll[i][j] = _panel_refine_pair(
-                Lh[j][j], Ll[j][j], Lh[i][j], Ll[i][j]
-            )
-        Dinv[j] = _slice_leaf(_leaf_inv(Lh[j][j], Ll[j][j]))
-        Lh[j][j] = None
-        Ll[j][j] = None
-        for c in range(j + 1, k):
-            for r in range(c, k):
-                Lh[r][c], Ll[r][c] = _trailing_update_pair(
-                    Lh[r][c], Ll[r][c],
-                    Lh[r][j], Ll[r][j], Lh[c][j], Ll[c][j],
-                )
-                pending += 1
-                if pending >= sync_every:
-                    sync(Lh[r][c])
-                    pending = 0
-        # Column j is final: repack to int8 and free the pair blocks.
-        if j + 1 < k:
-            his = [Lh[i][j] for i in range(j + 1, k)]
-            los = [Ll[i][j] for i in range(j + 1, k)]
-            sstrips[j] = _int8_strip(
-                jnp.concatenate(his, axis=0), jnp.concatenate(los, axis=0)
-            )
-            for i in range(j + 1, k):
-                Lh[i][j] = None
-                Ll[i][j] = None
-        sync(Dinv[j][0])
-    return sstrips, Dinv, ok
-
-
 def leaf_inverses(Lh, Ll):
     """Precompute f64 inverses of the diagonal leaf factors; the caller
     may drop the diagonal pair blocks afterwards (the solve only needs

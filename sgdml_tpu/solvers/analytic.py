@@ -518,27 +518,21 @@ class Analytic:
             Ghi, Glo = pairchol.grid_pair_diag_add(Ghi, Glo, lam_p)
             t_asm = timeit.default_timer() - ts
             ts = timeit.default_timer()
-            # Factorize straight into the int8 solve representation:
-            # each column repacks (and its leaf inverts) the moment the
-            # right-looking sweep finalizes it.
-            sstrips_try, Dinv_try, ok_dev = pairchol.chol_factor_int8(
-                Ghi, Glo
-            )
+            Lh_try, Ll_try = pairchol.chol_grid_pair(Ghi, Glo)
             del Ghi, Glo
-            ok = bool(ok_dev)
+            ok = bool(pairchol.grid_pair_isfinite(Lh_try))
             log.debug(
-                "pair rung lam'=%g: assembly %.1f s, factorize+repack "
-                '%.1f s (%s).', lam_p, t_asm,
-                timeit.default_timer() - ts,
+                "pair rung lam'=%g: assembly %.1f s, factorization %.1f s "
+                '(%s).', lam_p, t_asm, timeit.default_timer() - ts,
                 'ok' if ok else 'indefinite',
             )
             if ok:
-                sstrips, Dinv, lam_p_used = sstrips_try, Dinv_try, lam_p
+                Lh, Ll, lam_p_used = Lh_try, Ll_try, lam_p
                 break
-            del sstrips_try, Dinv_try
+            del Lh_try, Ll_try
         else:
-            sstrips = None
-        if sstrips is None:
+            Lh = None
+        if Lh is None:
             log.warning(
                 'Pair-precision factorization failed at every lam\' rung; '
                 'falling back to the f32 grid solver.'
@@ -546,6 +540,23 @@ class Analytic:
             return self._solve_tree_pcg(
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
+        ts = timeit.default_timer()
+        # Staged repack: factorize fully at 6 B/elem pair residency,
+        # THEN convert to the int8 solve form strip-by-strip (a fused
+        # per-column repack raised MID-sweep residency past HBM at
+        # n = 63k: early columns are the longest strips and coexist
+        # with the entire remaining pair triangle).
+        Dinv = pairchol.leaf_inverses(Lh, Ll)
+        for j in range(len(Lh)):
+            Lh[j][j] = None
+            Ll[j][j] = None
+        sstrips = pairchol.int8_strips(pairchol.strips_from_grid(Lh, Ll))
+        del Lh, Ll
+        Dinv = pairchol.slice_leaf_inverses(Dinv)
+        log.debug(
+            'leaf inverses + int8 repack: %.1f s.',
+            timeit.default_timer() - ts,
+        )
         t_assemble = timeit.default_timer() - t0
         log.info(
             'Assembled+factorized %dx%d pair-precision (f32+bf16) triangle '

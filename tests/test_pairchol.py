@@ -132,36 +132,3 @@ def test_solve_strips_int8_matches_grid_solve(factored):
     # CG preconditioner only operator-norm closeness matters.
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 1e-5
-
-
-def test_chol_factor_int8_matches_staged_pipeline(factored):
-    """The fused factorize+repack must equal the staged pipeline
-    (chol_grid_pair -> leaf_inverses -> strips -> int8)."""
-    A, spec, Lh, Ll = factored
-    rng = np.random.default_rng(9)
-    y = rng.standard_normal(spec.n)
-    # Staged reference from the module fixture's factor.
-    Dinv = pairchol.leaf_inverses(Lh, Ll)
-    Lh_c = [list(r) for r in Lh]
-    Ll_c = [list(r) for r in Ll]
-    sstrips_ref = pairchol.int8_strips(pairchol.strips_from_grid(Lh_c, Ll_c))
-    Dsl_ref = pairchol.slice_leaf_inverses(list(Dinv))
-    want = np.asarray(
-        pairchol.solve_strips_int8(sstrips_ref, Dsl_ref, jnp.asarray(y))
-    )
-    # Fused path from the same input matrix.
-    Ghi, Glo = pairchol.grid_pair_from_dense64(A, spec)
-    sstrips, Dsl, ok = pairchol.chol_factor_int8(Ghi, Glo)
-    assert bool(ok)
-    got = np.asarray(pairchol.solve_strips_int8(sstrips, Dsl, jnp.asarray(y)))
-    np.testing.assert_allclose(got, want, rtol=0, atol=1e-10 * np.abs(want).max())
-
-
-def test_chol_factor_int8_flags_indefinite():
-    n, k = 128, 2
-    A = _spd(n, 10, 4)
-    A[0, 0] = -3.0
-    spec = GridSpec(n, k)
-    Ghi, Glo = pairchol.grid_pair_from_dense64(A, spec)
-    _, _, ok = pairchol.chol_factor_int8(Ghi, Glo)
-    assert not bool(ok)
