@@ -241,8 +241,10 @@ def leaf_inverses(Lh, Ll):
     return [_leaf_inv(Lh[j][j], Ll[j][j]) for j in range(len(Lh))]
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _slice_leaf(dinv):
+    # No donation: int8 outputs cannot reuse the f64 buffer; the caller
+    # drops its reference right after.
     return ozaki.split_global_int8(dinv, n_slices=8)
 
 
