@@ -90,3 +90,43 @@ def test_pair_assembly_matches_dense_to_pair_floor():
             lo_mags.append(np.abs(np.asarray(Glo[i][j], np.float64)).max())
     # The lo parts must carry real sub-f32 information.
     assert max(lo_mags) > 0
+
+
+def test_pair_ladder_falls_back_to_f32_grid(monkeypatch):
+    """If every pair lam' rung goes indefinite, the solver must fall
+    back to the f32 grid path and still return a usable solution."""
+    from sgdml_tpu.ops import pairchol
+    from sgdml_tpu.solvers import analytic as am
+
+    n_atoms, m, sig, lam = 5, 40, 4.0, 1e-10
+    X, Jc, dperms, F = _setup(m, n_atoms)
+    y = F.reshape(-1) / np.std(F)
+    task = {'sig': sig, 'lam': lam,
+            'R_train': np.zeros((m, n_atoms, 3)), 'use_E_cstr': False}
+
+    def always_indefinite(Ghi, Glo, sync_every=16):
+        k = len(Ghi)
+        nan = jnp.full_like(Ghi[0][0], jnp.nan)
+        bad = [[nan for _ in row] for row in Ghi]
+        return bad, [[l for l in row] for row in Glo]
+
+    monkeypatch.setattr(pairchol, 'chol_grid_pair', always_indefinite)
+    solver = am.Analytic(max_memory=64)
+    alphas = solver._solve_pair_pcg(
+        task, np.asarray(X), np.asarray(Jc), dperms, y, sig, lam, n_atoms,
+        target_block=512,
+    )
+    assert np.isfinite(alphas).all()
+    # The fallback solve is the real f32-grid path: check it solved.
+    from sgdml_tpu.solvers.iterative import _matvec_A
+
+    perms_key = (
+        np.ascontiguousarray(dperms.astype(np.int64)).tobytes(), dperms.shape
+    )
+    r = np.asarray(
+        _matvec_A(
+            jnp.asarray(-alphas), X, Jc, X, Jc, sig, lam,
+            n_atoms=n_atoms, desc_perms_key=perms_key, use_E_cstr=False,
+        )
+    ) - y
+    assert np.linalg.norm(r) / np.linalg.norm(y) < 1e-6
