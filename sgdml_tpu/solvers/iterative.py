@@ -449,10 +449,13 @@ class Iterative:
         max_n_ind = Iterative.max_n_inducing_pts(
             n_train, n_atoms, self._max_memory * 1024**3
         )
-        # Start BELOW the memory cap so two 1.2x stall-restart growth
-        # steps fit inside the SAME budget (the former 1.5x restart
-        # headroom exceeded real HBM at a hardware-true budget).
-        n_inducing_pts = min(n_train, max(1, int(max_n_ind / 1.44)))
+        # Fresh solves start AT the cap (the strongest preconditioner
+        # the budget affords — the converged MD22-class runs never
+        # stalled and benefit most); stall-restarts may then only
+        # re-seed. Warm starts (resume) can begin below the cap, where
+        # the 1.2x growth path re-engages — always bounded by the SAME
+        # budget (the former 1.5x restart headroom exceeded real HBM).
+        n_inducing_pts = min(n_train, max_n_ind)
 
         # Warm start (resume) support.
         alphas0_F = task.get('alphas0_F')
@@ -466,9 +469,13 @@ class Iterative:
         lev_scores = None
         if (
             'inducing_pts_idxs' in task
-            and len(task['inducing_pts_idxs']) // dim_i == n_inducing_pts
+            and 0 < len(task['inducing_pts_idxs']) // dim_i <= n_inducing_pts
         ):
+            # Warm start (resume): reuse the stored inducing set even if
+            # below the current budget cap — stall-restarts can then
+            # grow it 1.2x at a time, bounded by the cap.
             inducing_pts_idxs = np.asarray(task['inducing_pts_idxs'])
+            n_inducing_pts = len(inducing_pts_idxs) // dim_i
         else:
             log.info(
                 'Estimating leverage scores (k=%d inducing points).',

@@ -68,10 +68,14 @@ def test_resume_warm_start(ds, models):
     assert m2['solver_resid'] <= m2['solver_tol'] * m2['norm_y_train']
 
 
-def _stall_solve(ds, monkeypatch, max_memory, max_restarts=3):
+def _stall_solve(ds, monkeypatch, max_memory, max_restarts=3,
+                 warm_k=None):
     """Run a solve whose effectiveness monitor reports a stall after every
     chunk (threshold forced to 100), with a tolerance too tight to reach —
-    so the restart machinery must fire and must terminate the solve."""
+    so the restart machinery must fire and must terminate the solve.
+    ``warm_k``: seed the task with a warm-start inducing set of that many
+    points (below the cap), the configuration where stall growth
+    re-engages (fresh solves start AT the cap and only re-seed)."""
     from sgdml_tpu.solvers import iterative as it_mod
 
     monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 4)
@@ -84,6 +88,12 @@ def _stall_solve(ds, monkeypatch, max_memory, max_restarts=3):
     task = trainer.create_task(
         ds, 24, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
     )
+    if warm_k is not None:
+        dim_i0 = 3 * ds['R'].shape[1]
+        rng = np.random.default_rng(0)
+        task['inducing_pts_idxs'] = rng.choice(
+            24 * dim_i0, warm_k * dim_i0, replace=False
+        )
     from sgdml_tpu.ops import descriptor as desc_ops
     import jax.numpy as jnp
 
@@ -112,9 +122,11 @@ def test_cg_restart_grows_k_and_terminates(ds, monkeypatch, caplog):
     import logging
 
     with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
-        # The solver starts at cap/1.44, leaving two 1.2x growth steps
-        # of headroom WITHIN the same memory budget.
-        k_init, out = _stall_solve(ds, monkeypatch, max_memory=0.005)
+        # Warm-start with k=4 points, well below the cap: stall growth
+        # must re-engage, bounded by the budget cap.
+        k_init, out = _stall_solve(
+            ds, monkeypatch, max_memory=0.005, warm_k=4
+        )
     alphas, tol, num_iters, resid, train_rmse, ind_idxs, is_conv = out
 
     assert not is_conv  # tol=0 is unreachable
@@ -123,10 +135,9 @@ def test_cg_restart_grows_k_and_terminates(ds, monkeypatch, caplog):
     assert num_iters <= 5 * 5
     restarts = [r for r in caplog.records if 'restarting with k=' in r.message]
     assert restarts, 'no preconditioner-strengthening restart fired'
-    # k actually grew beyond the solver's initial (below-cap) choice,
-    # while staying within the budget cap.
+    # k actually grew beyond the warm-start choice, within the cap.
     dim_i = 3 * ds['R'].shape[1]
-    assert len(ind_idxs) // dim_i > max(1, int(k_init / 1.44))
+    assert len(ind_idxs) // dim_i > 4
     assert len(ind_idxs) // dim_i <= k_init
 
 
@@ -137,13 +148,9 @@ def test_cg_restart_bounded_at_memory_cap(ds, monkeypatch, caplog):
     import logging
 
     with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
-        # The solver starts at cap/1.44 and grows 1.2x per stall; after
-        # ~2 growth steps k hits the budget cap and further stalls must
-        # take the bounded re-seed branch (needs restarts beyond the
-        # growth steps).
-        grow_cap, out = _stall_solve(
-            ds, monkeypatch, max_memory=0.02, max_restarts=5
-        )
+        # Fresh solves start AT the cap: every stall must take the
+        # bounded re-seed branch.
+        grow_cap, out = _stall_solve(ds, monkeypatch, max_memory=0.02)
     alphas, tol, num_iters, resid, train_rmse, ind_idxs, is_conv = out
 
     assert not is_conv
