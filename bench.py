@@ -42,13 +42,20 @@ def main():
     task = trainer.create_task(
         ds, m_train, ds, 500, sig=10.0, lam=1e-10, use_sym=False, use_E=True
     )
-    # Warm-up: first call pays XLA compilation (cached to disk thereafter);
-    # report steady-state training time, comparable to the reference's
-    # interpreter-free NumPy path.
-    trainer.train(task, solver='analytic')
+    # Warm-up: first call pays XLA compilation (cached to disk thereafter)
+    # plus tunnel startup latency; report the min-of-3 steady-state
+    # training time (comparable to the reference's interpreter-free NumPy
+    # path) alongside the cold time, so single-run tunnel noise cannot
+    # drift the recorded number (BENCH_r02 regressed 1.01->1.46 s on
+    # startup noise alone).
     t0 = timeit.default_timer()
     model = trainer.train(task, solver='analytic')
-    t_train = timeit.default_timer() - t0
+    t_train_cold = timeit.default_timer() - t0
+    t_train = float('inf')
+    for _ in range(3):
+        t0 = timeit.default_timer()
+        model = trainer.train(task, solver='analytic')
+        t_train = min(t_train, timeit.default_timer() - t0)
 
     # Accuracy parity check on 1000 held-out geometries.
     ti = np.setdiff1d(np.arange(len(ds['R'])), task['idxs_train'])[:1000]
@@ -105,6 +112,7 @@ def main():
             'device': str(jax.devices()[0]),
             'dtype': dtype,
             'train_s': round(t_train, 2),
+            'train_s_cold': round(t_train_cold, 2),
             'train_s_vs_baseline': (
                 round(baseline['reference_train_s'] / t_train, 2)
                 if 'reference_train_s' in baseline

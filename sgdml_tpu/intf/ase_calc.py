@@ -51,15 +51,13 @@ class SGDMLCalculator(Calculator):
             )
         super().__init__(*args, **kwargs)
 
+        from ..models.gdml import as_model_dict
         from ..predict import GDMLPredict
-        from ..utils import io
 
-        model = (
-            model_path
-            if isinstance(model_path, dict)
-            else io.load_dict(model_path)
+        # Typed front door: a GDMLModel, a model dict, or a file path.
+        self.gdml_predict = GDMLPredict(
+            as_model_dict(model_path), batch_size=1
         )
-        self.gdml_predict = GDMLPredict(model, batch_size=1)
 
         # Unit conversion (reference default: kcal/mol -> eV).
         if E_to_eV is None:

@@ -39,6 +39,9 @@ class MDEngine:
     """
 
     def __init__(self, model, masses=None, dtype=jnp.float64):
+        from .models.gdml import as_model_dict
+
+        model = as_model_dict(model)
         if masses is None:
             from .utils.io import ATOMIC_MASSES
 

@@ -15,6 +15,25 @@ import numpy as np
 from ..utils import io
 
 
+def as_model_dict(model) -> dict:
+    """Normalize any engine-facing model argument to the raw dict.
+
+    Accepts a :class:`GDMLModel`, a model dict (reference npz layout), or
+    a path to a model ``.npz`` file — the typed front door used by
+    ``GDMLPredict``, ``MDEngine`` and ``SGDMLCalculator``.
+    """
+    if isinstance(model, GDMLModel):
+        return model.data
+    if isinstance(model, dict):
+        return model
+    if isinstance(model, (str, bytes)) or hasattr(model, '__fspath__'):
+        return GDMLModel.load(model).data
+    raise TypeError(
+        'Expected a GDMLModel, a model dict, or a model file path; got %r'
+        % type(model)
+    )
+
+
 @dataclasses.dataclass
 class GDMLModel:
     """A trained (s)GDML force-field model."""

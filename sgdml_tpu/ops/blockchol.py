@@ -1,8 +1,8 @@
 """Block-grid packed Cholesky for HBM-scale SPD systems, TPU-native.
 
-The recursive tree layout (ops/treechol.py) factorizes in ONE XLA program,
-which at n = 63k demands ~9 GB of scheduling temporaries on top of the
-8 GB matrix — over HBM. This module keeps the lower triangle as a flat
+A single-program recursive factorization (a superseded design
+iteration) at n = 63k demanded ~9 GB of XLA scheduling temporaries on
+top of the 8 GB matrix — over HBM. This module instead keeps the lower triangle as a flat
 ``k x k`` grid of equal ``(b, b)`` blocks (a list-of-lists pytree) and
 drives a right-looking blocked Cholesky FROM THE HOST: every step is a
 small jitted kernel (leaf Cholesky / triangular solve / GEMM-subtract)

@@ -60,7 +60,6 @@ __all__ = [
     'hessian_tile_compressed',
     'assemble_kernel',
     'assemble_kernel_columns',
-    'assemble_kernel_tree',
     'assemble_kernel_grid',
 ]
 
@@ -545,8 +544,9 @@ def _assemble_block_jit(
     zeroed, and for ``diag`` blocks their diagonal entries are set to 1 so
     the padded system stays SPD.
 
-    Backs the tree-packed f32 assembly of the mixed-precision analytic
-    solver (ops/treechol.py); same tile math as :func:`_assemble_jit`.
+    Backs the block-grid packed assembly of the mixed-precision analytic
+    solvers (assemble_kernel_grid / assemble_kernel_grid_pair); same tile
+    math as :func:`_assemble_jit`.
     """
     desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
         desc_perms_key[1]
@@ -612,69 +612,6 @@ def _assemble_block_jit(
         )
         out = out + jnp.diag(pad_row.astype(out.dtype))
     return out
-
-
-def assemble_kernel_tree(
-    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec, dtype=jnp.float32,
-    tile_i: int | None = None, tile_j: int | None = None,
-):
-    """Assemble ``A = -K`` directly into tree-packed triangle storage
-    (ops/treechol.py) in ``dtype`` (f32 by default — the factor backs a
-    preconditioner; f64 accuracy is recovered by matrix-free refinement).
-
-    ``spec.n`` must equal ``m_pad * 3 * n_atoms`` for some padded point
-    count ``m_pad >= M``, with every split boundary a multiple of ``3N``
-    (build the spec with ``align=3 * n_atoms``).
-    """
-    dim_i = 3 * n_atoms
-    if spec.n % dim_i != 0:
-        raise ValueError('tree spec must be aligned to 3*n_atoms')
-    m = R_desc.shape[0]
-    m_pad = spec.n // dim_i
-    X = jnp.asarray(R_desc, dtype)
-    Jc = jnp.asarray(R_d_desc, dtype)
-
-    n_perms = np.asarray(desc_perms).shape[0]
-    if tile_i is None or tile_j is None:
-        ti, tj = default_tile_sizes(m_pad, n_atoms, n_perms, X.dtype.itemsize)
-        tile_i = tile_i or ti
-        tile_j = tile_j or tj
-
-    # Over-pad by one tile: a block's last tile may extend past the block
-    # (and past m_pad), and dynamic_slice would CLAMP the start index —
-    # computing the wrong rows but writing them at the intended offset.
-    # With the overhang present the slice never clamps; the row/col masks
-    # zero everything past the true point count.
-    m_padded = m_pad + max(int(tile_i), int(tile_j))
-    X = jnp.pad(X, ((0, m_padded - m), (0, 0)))
-    Jc = jnp.pad(Jc, ((0, m_padded - m), (0, 0), (0, 0)))
-    perms_key = _perms_key(desc_perms)
-
-    def block(row_pt0, col_pt0, n_row_pts, n_col_pts, diag):
-        return _assemble_block_jit(
-            X, Jc, sig, row_pt0, col_pt0, m,
-            n_atoms=n_atoms,
-            desc_perms_key=perms_key,
-            n_row_pts=n_row_pts,
-            n_col_pts=n_col_pts,
-            tile_i=int(min(tile_i, n_row_pts)),
-            tile_j=int(min(tile_j, n_col_pts)),
-            diag=diag,
-        )
-
-    def build(sp):
-        p0 = sp.off // dim_i
-        if sp.leaf:
-            return block(p0, p0, sp.n // dim_i, sp.n // dim_i, True)
-        t1 = build(sp.left)
-        r = block(
-            sp.right.off // dim_i, p0,
-            sp.n2 // dim_i, sp.n1 // dim_i, False,
-        )
-        t2 = build(sp.right)
-        return (t1, r, t2)
-
-    return build(spec)
 
 
 def assemble_kernel_grid(

@@ -229,7 +229,7 @@ def ozaki_gemm_nt(a, b, *, n_slices: int = DEFAULT_SLICES, q: int = Q_BITS,
     caller). Keeps product levels ``i + j < n_slices`` — truncation error
     ~``2^{-q(n_slices+1)} * sigma_a * sigma_b`` per entry. The int8
     matmuls accumulate exactly in int32 (requires
-    ``k <= max_contraction_dim()``, ~= 130k at the defaults).
+    ``k <= max_contraction_dim()``, ~= 33k at the defaults).
     """
     k = a.shape[1]
     if k > max_contraction_dim(n_slices, q):

@@ -401,14 +401,25 @@ def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout,
                 K_int, y_int, mask, lam, lam_p,
                 nb=int(nb), cg_iters=2000,
             )
-            if bool(ok):
+            rel = float(rel)
+            # Gate on the CG outcome too, not just factor finiteness: a
+            # finite factorization whose in-jit CG stalled or broke down
+            # would otherwise return unconverged (or NaN) alphas with only
+            # an info-level log.
+            if bool(ok) and np.isfinite(rel) and rel <= 1e-8:
                 log.info(
                     "Mesh pair solve: lam'=%g, CG relative residual %.2e.",
-                    lam_p, float(rel),
+                    lam_p, rel,
                 )
                 return lay.gather_vec(np.asarray(x_int))
+            if bool(ok):
+                log.warning(
+                    "Mesh pair solve at lam'=%g did not converge (relative "
+                    'residual %.2e); trying the next rung.', lam_p, rel,
+                )
         log.warning(
-            'Pair factorization failed at every rung; falling back to f64.'
+            'Pair solve failed at every rung (factorization or CG); '
+            'falling back to f64.'
         )
     x_int = _solve_interleaved_jit(
         K_int,

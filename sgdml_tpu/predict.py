@@ -224,6 +224,9 @@ class GDMLPredict:
 
     def __init__(self, model, dtype=jnp.float64, batch_size: int | None = None,
                  transfer_dtype=None, mesh=None):
+        from .models.gdml import as_model_dict
+
+        model = as_model_dict(model)
         if not _is_model(model):
             raise ValueError('The provided data structure is not a valid model.')
 

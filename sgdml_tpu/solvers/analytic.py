@@ -274,7 +274,7 @@ class Analytic:
                     task, R_desc, R_d_desc, desc_perms, y, sig, lam,
                     n_atoms, lmax=lmax,
                 )
-            return self._solve_tree_pcg(
+            return self._solve_grid_pcg(
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
                 lmax=lmax,
             )
@@ -355,7 +355,7 @@ class Analytic:
         self.t_solve = t_solve
         return np.asarray(alphas)
 
-    def _solve_tree_pcg(
+    def _solve_grid_pcg(
         self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
         lmax=None,
     ):
@@ -426,6 +426,11 @@ class Analytic:
         t0 = timeit.default_timer()
         b_norm = max(float(np.linalg.norm(y)), 1e-300)
         state, iters, rel = None, 0, 1.0
+        # Best finite iterate across chunk boundaries: a CG numerical
+        # breakdown poisons the in-flight state with NaNs (the while_loop
+        # exits on a non-finite residual), and NaN comparisons being False
+        # would otherwise let the poisoned x through silently.
+        best_x, best_rel = None, np.inf
         chunk = 250
         for _ in range(-(-PCG_MAX_ITERS // chunk)):
             state, resid = _pcg_chol(
@@ -436,15 +441,34 @@ class Analytic:
             it_done = int(state[5])  # host sync per chunk
             iters += it_done
             rel = float(resid) / b_norm
+            if np.isfinite(rel) and rel < best_rel:
+                best_x, best_rel = state[0], rel
             log.info(
                 'Refinement CG: %d iterations, relative residual %.2e '
                 '(%.1f s).', iters, rel, timeit.default_timer() - t0,
             )
+            if not np.isfinite(rel):
+                break
             if rel <= PCG_RTOL or it_done < chunk:
                 break
-        x = state[0]
+        if not np.isfinite(rel):
+            if best_x is None:
+                raise RuntimeError(
+                    'Refinement CG broke down numerically before producing '
+                    'a finite iterate (the f32 factor is unusable as a '
+                    'preconditioner). Try a different sigma or a larger '
+                    'regularization.'
+                )
+            log.warning(
+                'Refinement CG broke down numerically at iteration %d; '
+                'returning the best finite iterate (relative residual '
+                '%.2e).', iters, best_rel,
+            )
+            x, rel = best_x, best_rel
+        else:
+            x = state[0]
         t_solve = timeit.default_timer() - t0
-        if rel > 1e-6:
+        if not (rel <= 1e-6):
             log.warning(
                 'Refinement CG stopped at relative residual %.2e (target '
                 '%.0e); the solution may be slightly less accurate than a '
@@ -537,7 +561,7 @@ class Analytic:
                 'Pair-precision factorization failed at every lam\' rung; '
                 'falling back to the f32 grid solver.'
             )
-            return self._solve_tree_pcg(
+            return self._solve_grid_pcg(
                 task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms
             )
         ts = timeit.default_timer()
@@ -569,6 +593,9 @@ class Analytic:
         b_norm = max(float(np.linalg.norm(y)), 1e-300)
         state = _pcg_pair_start(sstrips, Dinv, y_dev)
         it, rel, check = 0, 1.0, 10
+        # Best finite iterate at the host sync points: a CG breakdown
+        # (non-finite residual) must never return poisoned alphas.
+        best_x, best_rel = None, np.inf
         while it < PCG_MAX_ITERS:
             state, rn = _pcg_pair_step(
                 state, sstrips, Dinv, X64, Jc64, sig, lam,
@@ -579,6 +606,8 @@ class Analytic:
                 # device_get forces completion through the axon tunnel
                 # (block_until_ready does not); bounds the dispatch queue.
                 rel = float(jax.device_get(rn)) / b_norm
+                if np.isfinite(rel) and rel < best_rel:
+                    best_x, best_rel = state[0], rel
                 if it % 50 == 0:
                     log.info(
                         'Refinement CG: %d iterations, relative residual '
@@ -587,13 +616,31 @@ class Analytic:
                     )
                 if rel <= PCG_RTOL or not np.isfinite(rel):
                     break
-        x = state[0]
+        if not np.isfinite(rel):
+            if best_x is None:
+                log.warning(
+                    'Pair-precision refinement CG broke down before '
+                    'producing a finite iterate; falling back to the f32 '
+                    'grid solver.'
+                )
+                return self._solve_grid_pcg(
+                    task, R_desc, R_d_desc, desc_perms, y, sig, lam,
+                    n_atoms, lmax=lmax,
+                )
+            log.warning(
+                'Pair-precision refinement CG broke down numerically at '
+                'iteration %d; returning the best finite iterate '
+                '(relative residual %.2e).', it, best_rel,
+            )
+            x, rel = best_x, best_rel
+        else:
+            x = state[0]
         t_solve = timeit.default_timer() - t0
         log.info(
             'Refinement CG done: %d iterations, relative residual '
             '%.2e (%.1f s).', it, rel, t_solve,
         )
-        if rel > 1e-6:
+        if not (rel <= 1e-6):
             log.warning(
                 'Refinement CG stopped at relative residual %.2e (target '
                 '%.0e); the solution may be slightly less accurate than a '
@@ -613,8 +660,14 @@ class Analytic:
         the conservative 12 GiB default budget; callers that know the
         real HBM (e.g. bench configs on a 16 GB chip) pass a larger
         ``max_memory`` to unlock it."""
-        n = (-(-n_train // 8) * 8) * 3 * n_atoms
-        return int(3.5 * n**2 + 8 * n * 3456 + 3e8)
+        dim_i = 3 * n_atoms
+        n = (-(-n_train // 8) * 8) * dim_i
+        # Leaf block dimension from the same grid_spec the solve uses
+        # (_solve_pair_pcg: target_block=4096, align=dim_i) — it varies
+        # with the molecule, so a hard-coded constant would misroute
+        # pair-vs-grid near the memory boundary.
+        spec = blockchol.grid_spec(n, target_block=4096, align=dim_i)
+        return int(3.5 * n**2 + 8 * n * spec.b + 3e8)
 
     @staticmethod
     def est_memory_requirement(n_train, n_atoms):
@@ -625,7 +678,7 @@ class Analytic:
         return 3 * n**2 * 8 + n * 8
 
     @staticmethod
-    def est_memory_tree(n_train, n_atoms):
+    def est_memory_grid(n_train, n_atoms):
         """Bytes needed on device for the f32 packed-triangle path: packed
         triangle (n^2/2 f32) + top-level rectangle transients (~n^2/4)."""
         n = (-(-n_train // 8) * 8) * 3 * n_atoms

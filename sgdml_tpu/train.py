@@ -341,7 +341,7 @@ class GDMLTrain:
                 Analytic.est_memory_requirement(n_train, n_atoms) < budget
                 or (
                     not use_E_cstr
-                    and Analytic.est_memory_tree(n_train, n_atoms) < budget
+                    and Analytic.est_memory_grid(n_train, n_atoms) < budget
                 )
             )
             solver = 'analytic' if use_analytic else 'cg'

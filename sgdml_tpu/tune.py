@@ -60,11 +60,19 @@ def reset_cache():
     return False
 
 
-def _cache_key(n_atoms, n_train, n_perms, n_bulk, dtype) -> str:
+def _cache_key(
+    n_atoms, n_train, n_perms, n_bulk, dtype, transfer_dtype, n_dev
+) -> str:
     import jax
 
     dev = jax.devices()[0].platform
-    return '%d-%d-%d-%d-%s-%s' % (n_atoms, n_train, n_perms, n_bulk, dtype, dev)
+    # transfer_dtype and the mesh device count are part of the key: a
+    # bucket tuned for f64 transfers must not be replayed for an
+    # f32-transfer predictor, nor a single-chip bucket for a mesh.
+    tdt = 'none' if transfer_dtype is None else np.dtype(transfer_dtype).name
+    return '%d-%d-%d-%d-%s-%s-%dx%s' % (
+        n_atoms, n_train, n_perms, n_bulk, dtype, tdt, n_dev, dev
+    )
 
 
 def prepare_parallel(predictor, n_bulk: int = 1000, n_reps: int = 3,
@@ -80,6 +88,8 @@ def prepare_parallel(predictor, n_bulk: int = 1000, n_reps: int = 3,
         predictor.n_perms,
         n_bulk,
         np.dtype(predictor.dtype).name,
+        predictor.transfer_dtype,
+        predictor._n_dev,
     )
     cache = _load_cache() if use_cache else {}
     if key in cache:

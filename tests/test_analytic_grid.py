@@ -1,13 +1,17 @@
-"""f32 tree-packed analytic path: assembly parity + end-to-end PCG solve."""
+"""f32 block-grid analytic path: assembly edge cases + end-to-end PCG solve.
+
+(Successor of the retired tree-packed layout tests; the production path is
+the block-grid solver, ops/blockchol.py + Analytic._solve_grid_pcg.)
+"""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from sgdml_tpu.datasets.synthetic import generate_md_dataset
-from sgdml_tpu.ops import treechol as tc
+from sgdml_tpu.ops import blockchol as bc
 from sgdml_tpu.ops.descriptor import descriptor_batch
-from sgdml_tpu.ops.kernel import assemble_kernel, assemble_kernel_tree
+from sgdml_tpu.ops.kernel import assemble_kernel, assemble_kernel_grid
 from sgdml_tpu.solvers.analytic import Analytic
 
 
@@ -20,27 +24,7 @@ def _setup(m=14, n_atoms=5, seed=3):
     return X, Jc, dperms, F
 
 
-def test_assemble_tree_matches_dense():
-    n_atoms, m, sig = 5, 14, 4.0
-    X, Jc, dperms, _ = _setup(m, n_atoms)
-    dim_i = 3 * n_atoms
-    m_pad = 16
-    spec = tc.tree_spec(m_pad * dim_i, leaf_size=4 * dim_i, align=dim_i)
-
-    A_tree = assemble_kernel_tree(
-        X, Jc, dperms, sig, n_atoms, spec, dtype=jnp.float64
-    )
-    A_dense = tc.tree_to_dense(A_tree, spec, full=True)
-
-    K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
-    n = m * dim_i
-    np.testing.assert_allclose(A_dense[:n, :n], -K, rtol=1e-12, atol=1e-12)
-    # Padded region: identity diagonal, zero off-diagonal.
-    np.testing.assert_allclose(A_dense[n:, n:], np.eye(m_pad * dim_i - n))
-    assert np.all(A_dense[n:, :n] == 0)
-
-
-def test_assemble_tree_nondividing_tiles():
+def test_assemble_grid_nondividing_tiles():
     """Edge tiles extend past blocks and past the padded point count; the
     over-padded tables must prevent dynamic_slice start clamping (which
     would compute wrong rows but write them at the intended offset —
@@ -49,12 +33,12 @@ def test_assemble_tree_nondividing_tiles():
     X, Jc, dperms, _ = _setup(m, n_atoms)
     dim_i = 3 * n_atoms
     m_pad = 24
-    spec = tc.tree_spec(m_pad * dim_i, leaf_size=6 * dim_i, align=dim_i)
-    A_tree = assemble_kernel_tree(
+    spec = bc.grid_spec(m_pad * dim_i, target_block=6 * dim_i, align=dim_i)
+    A_grid = assemble_kernel_grid(
         X, Jc, dperms, sig, n_atoms, spec, dtype=jnp.float64,
         tile_i=5, tile_j=7,
     )
-    A_dense = tc.tree_to_dense(A_tree, spec, full=True)
+    A_dense = bc.grid_to_dense(A_grid, spec, full=True)
     K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
     n = m * dim_i
     np.testing.assert_allclose(A_dense[:n, :n], -K, rtol=1e-12, atol=1e-12)
@@ -62,23 +46,9 @@ def test_assemble_tree_nondividing_tiles():
     assert np.all(A_dense[n:, :n] == 0)
 
 
-def test_assemble_tree_f32_close():
-    n_atoms, m, sig = 5, 12, 4.0
-    X, Jc, dperms, _ = _setup(m, n_atoms)
-    dim_i = 3 * n_atoms
-    spec = tc.tree_spec(m * dim_i, leaf_size=4 * dim_i, align=dim_i)
-    A_tree = assemble_kernel_tree(
-        X, Jc, dperms, sig, n_atoms, spec, dtype=jnp.float32
-    )
-    A_dense = tc.tree_to_dense(A_tree, spec, full=True)
-    K = np.asarray(assemble_kernel(X, Jc, dperms, sig, n_atoms))
-    scale = np.abs(K).max()
-    assert np.max(np.abs(A_dense + K)) < 1e-5 * scale
-
-
 @pytest.mark.parametrize('use_sym', [False])
-def test_tree_pcg_matches_dense_f64_solve(use_sym):
-    """Force the tree path with a tiny memory budget; alphas must match the
+def test_grid_pcg_matches_dense_f64_solve(use_sym):
+    """Force the grid path with a tiny memory budget; alphas must match the
     dense f64 analytic solve to CG tolerance."""
     n_atoms, m, sig, lam = 5, 20, 4.0, 1e-10
     X, Jc, dperms, F = _setup(m, n_atoms)
@@ -91,8 +61,8 @@ def test_tree_pcg_matches_dense_f64_solve(use_sym):
         'use_E_cstr': False,
     }
 
-    a_small = Analytic(max_memory=1e-9)  # everything "too big" -> tree path
-    alphas_tree = a_small.solve(task, np.asarray(X), np.asarray(Jc), dperms, y)
+    a_small = Analytic(max_memory=1e-9)  # everything "too big" -> grid path
+    alphas_grid = a_small.solve(task, np.asarray(X), np.asarray(Jc), dperms, y)
     assert a_small.pcg_iters > 0
 
     a_big = Analytic(max_memory=64)
@@ -115,9 +85,9 @@ def test_tree_pcg_matches_dense_f64_solve(use_sym):
             )
         )
 
-    f_tree, f_dense = forces(alphas_tree), forces(alphas_dense)
-    f_dev = np.linalg.norm(f_tree - f_dense) / np.linalg.norm(f_dense)
+    f_grid, f_dense = forces(alphas_grid), forces(alphas_dense)
+    f_dev = np.linalg.norm(f_grid - f_dense) / np.linalg.norm(f_dense)
     assert f_dev < 1e-7, f_dev
 
     denom = np.linalg.norm(alphas_dense)
-    assert np.linalg.norm(alphas_tree - alphas_dense) / denom < 1e-3
+    assert np.linalg.norm(alphas_grid - alphas_dense) / denom < 1e-3

@@ -209,3 +209,30 @@ def test_f32_transfer_dtype_accuracy():
     f_scale = np.abs(F1).max()
     assert np.abs(F2 - F1).max() / f_scale < 1e-5
     assert np.abs(E2 - E1).max() / max(np.abs(E1).max(), 1.0) < 1e-5
+
+
+def test_typed_model_front_door(tmp_path):
+    """GDMLPredict (and the other engines) accept a GDMLModel, a dict, or
+    a path — the typed front door (models/gdml.py:as_model_dict)."""
+    from sgdml_tpu.models import GDMLModel
+
+    data, model = _load_model_fixture()
+    E_dict, F_dict = GDMLPredict(model).predict(data['R_test'])
+
+    typed = GDMLModel(model)
+    E_typed, F_typed = GDMLPredict(typed).predict(data['R_test'])
+    np.testing.assert_array_equal(E_dict, E_typed)
+    np.testing.assert_array_equal(F_dict, F_typed)
+
+    # Through the GDMLModel.predictor() convenience constructor too.
+    E_conv, _ = typed.predictor().predict(data['R_test'])
+    np.testing.assert_array_equal(E_dict, E_conv)
+
+    # MDEngine accepts the typed model as well.
+    from sgdml_tpu.md import MDEngine
+
+    eng = MDEngine(typed)
+    assert eng.n_atoms == typed.n_atoms
+
+    with pytest.raises(TypeError):
+        GDMLPredict(42)
