@@ -58,6 +58,12 @@ def _adjacency_eigenvectors(R: np.ndarray, lat_and_inv=None):
 def bipartite_match(R, z, lat_and_inv=None, max_processes=None, callback=None):
     """Pairwise atom matching across all geometry pairs.
 
+    The ``n_train * (n_train - 1) / 2`` Hungarian solves fan out over a
+    thread pool (scipy's ``linear_sum_assignment`` and the BLAS score
+    math release the GIL), the TPU-native analog of the reference's
+    forked worker pool (sgdml/utils/perm.py:202-213); the cost tensors
+    and before-scores are computed vectorized per row.
+
     Returns
     -------
     match_perms_all: dict ``(i, j) -> perm`` for non-identity improving
@@ -65,32 +71,55 @@ def bipartite_match(R, z, lat_and_inv=None, max_processes=None, callback=None):
     match_cost: dense symmetric cost matrix (inf diagonal) used for MST
         synchronization.
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     R = np.asarray(R)
     z = np.asarray(z)
     n_train, n_atoms = R.shape[:2]
 
-    same_z_cost = (z[:, None] - z[None, :]) != 0
+    same_z_cost = ((z[:, None] - z[None, :]) != 0).astype(np.float64)
 
     adj, v = _adjacency_eigenvectors(R, lat_and_inv)
 
     match_cost = np.zeros((n_train, n_train))
     match_perms_all = {}
-    for i in range(n_train):
-        # Cost tensor against all later geometries in one einsum.
-        cost_all = -np.einsum('nk,jmk->jnm', v[i], v[i + 1 :])
-        for oj, j in enumerate(range(i + 1, n_train)):
-            cost = cost_all[oj] + same_z_cost * np.max(np.abs(cost_all[oj]))
-            _, perm = scipy.optimize.linear_sum_assignment(cost)
 
-            adj_i_perm = adj[i][np.ix_(perm, perm)]
-            score_before = np.linalg.norm(adj[i] - adj[j])
-            score = np.linalg.norm(adj_i_perm - adj[j])
+    n_workers = max(1, int(max_processes or os.cpu_count() or 1))
 
-            match_cost[i, j] = min(score, score_before)
-            if score < score_before and not np.isclose(score_before, score):
-                match_perms_all[(i, j)] = perm
-        if callback is not None:
-            callback(i + 1, n_train)
+    def match_pair(args):
+        """One Hungarian solve + its adjacency score (GIL released in
+        scipy/BLAS); returns (perm, score)."""
+        cost, adj_i, adj_j = args
+        _, perm = scipy.optimize.linear_sum_assignment(cost)
+        score = np.linalg.norm(adj_i[perm][:, perm] - adj_j)
+        return perm, score
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        pool_map = pool.map if n_workers > 1 else map
+        for i in range(n_train):
+            # Cost tensors against all later geometries in one einsum.
+            cost_all = -np.einsum('nk,jmk->jnm', v[i], v[i + 1 :])
+            scale = np.max(np.abs(cost_all), axis=(1, 2))
+            cost_all += same_z_cost[None] * scale[:, None, None]
+            scores_before = np.linalg.norm(
+                adj[i][None] - adj[i + 1 :], axis=(1, 2)
+            )
+            results = pool_map(
+                match_pair,
+                ((cost_all[oj], adj[i], adj[i + 1 + oj])
+                 for oj in range(n_train - i - 1)),
+            )
+            for oj, (perm, score) in enumerate(results):
+                j = i + 1 + oj
+                score_before = scores_before[oj]
+                match_cost[i, j] = min(score, score_before)
+                if score < score_before and not np.isclose(
+                    score_before, score
+                ):
+                    match_perms_all[(i, j)] = perm
+            if callback is not None:
+                callback(i + 1, n_train)
 
     match_cost = match_cost + match_cost.T
     match_cost[np.diag_indices_from(match_cost)] = np.inf
