@@ -102,9 +102,44 @@ def energy_error_metrics(E_pred, E_ref):
 # ---------------------------------------------------------------------------
 
 
+def _load_perms_file(path):
+    """Load an externally provided permutation table (reference parity:
+    the ``--perms`` parser option feeding create_task(perms=...)).
+
+    Accepts a ``.npy`` array or an ``.npz`` containing a ``perms`` key
+    (datasets and models both carry one, so either can be used directly).
+    """
+    if path.endswith('.npy'):
+        perms = np.load(path)
+    else:
+        data = np.load(path, allow_pickle=True)
+        if 'perms' not in data:
+            raise argparse.ArgumentTypeError(
+                "%s contains no 'perms' array." % path
+            )
+        perms = data['perms']
+    perms = np.asarray(perms)
+    if perms.ndim != 2 or perms.dtype.kind not in 'iu':
+        raise argparse.ArgumentTypeError(
+            '%s: permutations must be a 2-D integer array.' % path
+        )
+    return perms.astype(np.int64)
+
+
 def create(args):
     dataset = io.validate_dataset(io.load_dict(args.dataset))
     sigs = args.sig if isinstance(args.sig, list) else [args.sig]
+
+    # Separate validation dataset (reference: sgdml all/create
+    # valid_dataset argument, sgdml/cli.py:612-740); defaults to the
+    # training dataset.
+    valid_dataset = dataset
+    if getattr(args, 'valid_dataset', None):
+        valid_dataset = io.validate_dataset(io.load_dict(args.valid_dataset))
+
+    perms = None
+    if getattr(args, 'perms', None):
+        perms = _load_perms_file(args.perms)
 
     task_dir = args.task_dir or io.train_dir_name(
         dataset,
@@ -117,8 +152,8 @@ def create(args):
         if args.overwrite:
             shutil.rmtree(task_dir)
         elif io.is_task_dir_resumable(
-            task_dir, dataset, dataset, args.n_train, args.n_valid, sigs,
-            args.E_cstr,
+            task_dir, dataset, valid_dataset, args.n_train, args.n_valid,
+            sigs, args.E_cstr,
         ):
             log.info('Resuming existing task directory %s.', task_dir)
             return task_dir
@@ -134,10 +169,11 @@ def create(args):
     template = trainer.create_task(
         dataset,
         args.n_train,
-        dataset,
+        valid_dataset,
         args.n_valid,
         sig=sigs[0],
         lam=args.lam,
+        perms=perms,
         use_sym=not args.gdml,
         use_E=not args.no_E,
         use_E_cstr=args.E_cstr,
@@ -174,6 +210,7 @@ def train(args):
         io.load_dict(args.valid_dataset) if args.valid_dataset else None
     )
 
+    lazy = bool(getattr(args, 'lazy', False))
     prev_valid_rmse = None
     model_paths = []
     for task_path in tasks:
@@ -185,9 +222,23 @@ def train(args):
             log.info('Model exists, skipping: %s', model_path)
             model_paths.append(model_path)
             continue
+        # --lazy: give up on tasks whose training was attempted before but
+        # produced no model (reference: sgdml/cli.py:87 --lazy flag and the
+        # tried_training marker, cli.py:1065-1075).
+        if lazy and bool(task.get('tried_training', False)):
+            log.info(
+                'Skipping task with a previously failed training attempt '
+                '(--lazy): %s', task_path,
+            )
+            continue
 
         def save_progress(unconv_model, _path=model_path):
             io.save_dict(_path.replace('model-', '_unconv_model-'), unconv_model)
+
+        # Mark the attempt up front, so a crash mid-training leaves the
+        # marker behind for --lazy runs to skip.
+        task['tried_training'] = True
+        io.save_dict(task_path, task)
 
         log.info('Training task %s', task_path)
         model = trainer.train(
@@ -389,27 +440,36 @@ def select(args):
 
 
 def all_cmd(args):
-    """create -> train -> select -> test (reference: sgdml/cli.py:612-740)."""
+    """create -> train -> select -> test (reference: sgdml/cli.py:612-740).
+
+    Validation runs against ``--valid_dataset`` and the final test against
+    ``--test_dataset`` (each defaulting to the training dataset), matching
+    the reference's separate-dataset ``all`` signature.
+    """
+    valid_path = getattr(args, 'valid_dataset', None) or args.dataset
+    test_path = getattr(args, 'test_dataset', None) or args.dataset
+
     task_dir = create(args)
 
     targs = argparse.Namespace(
         task=task_dir,
-        valid_dataset=args.dataset,
+        valid_dataset=valid_path,
         overwrite=False,
         max_memory=args.max_memory,
         solver=args.solver,
         devices=getattr(args, 'devices', None),
+        lazy=getattr(args, 'lazy', False),
     )
     train(targs)
 
     sargs = argparse.Namespace(
-        model_dir=task_dir, dataset=args.dataset, out=args.model_file
+        model_dir=task_dir, dataset=valid_path, out=args.model_file
     )
     best = select(sargs)
 
     if args.n_test is None or args.n_test != 0:
         xargs = argparse.Namespace(
-            model=best, dataset=args.dataset,
+            model=best, dataset=test_path,
             devices=getattr(args, 'devices', None),
         )
         test(xargs, n_test=args.n_test or 0)
@@ -514,6 +574,16 @@ def _add_common_train_args(p):
         '--E_cstr', action='store_true', help='include energy constraints'
     )
     p.add_argument('-o', '--overwrite', action='store_true')
+    p.add_argument(
+        '--valid_dataset', type=_dataset_path, default=None,
+        help='draw the validation split from this dataset instead of the '
+        'training one (reference: separate valid_dataset argument)',
+    )
+    p.add_argument(
+        '--perms', default=None,
+        help='npz/npy file providing the permutation table (skips '
+        'symmetry discovery)',
+    )
     p.add_argument('--task_dir', default=None)
     p.add_argument('--max_memory', type=float, default=None, help='GB budget')
     p.add_argument(
@@ -542,6 +612,15 @@ def main(argv=None):
     _add_common_train_args(p)
     p.add_argument('n_test', type=int, nargs='?', default=None)
     p.add_argument('--model_file', default=None)
+    p.add_argument(
+        '--test_dataset', type=_dataset_path, default=None,
+        help='run the final test on this dataset instead of the training '
+        'one (reference: separate test_dataset argument)',
+    )
+    p.add_argument(
+        '--lazy', action='store_true',
+        help='skip tasks whose training previously failed',
+    )
 
     p = sub.add_parser('create', help='create training task(s)')
     _add_common_train_args(p)
@@ -549,6 +628,10 @@ def main(argv=None):
     p = sub.add_parser('train', help='train model(s) from task(s)')
     p.add_argument('task', help='task file or task directory')
     p.add_argument('valid_dataset', nargs='?', default=None)
+    p.add_argument(
+        '--lazy', action='store_true',
+        help='skip tasks whose training previously failed',
+    )
     p.add_argument('-o', '--overwrite', action='store_true')
     p.add_argument('--max_memory', type=float, default=None)
     p.add_argument('--solver', choices=['analytic', 'cg'], default=None)

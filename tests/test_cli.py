@@ -200,3 +200,123 @@ def test_train_early_stopping(dataset_file, tmp_path, monkeypatch, capsys):
         )
     )
     assert len(paths) >= 1
+
+
+def _slice_dataset(ds, sl, name):
+    """Same molecule, disjoint trajectory windows -> distinct datasets."""
+    out = {
+        k: v for k, v in ds.items()
+        if k not in ('R', 'E', 'F', 'md5', 'name')
+    }
+    out.update(R=ds['R'][sl], E=ds['E'][sl], F=ds['F'][sl], name=name)
+    out['md5'] = io.dataset_md5(out)
+    return out
+
+
+def test_all_separate_valid_and_test_datasets(tmp_path, monkeypatch, capsys):
+    """Train on dataset A, validate on B, test on C (reference parity:
+    sgdml all's separate valid_dataset / test_dataset arguments,
+    sgdml/cli.py:612-740)."""
+    monkeypatch.chdir(tmp_path)
+    full = generate_md_dataset(n_atoms=5, n_frames=460, seed=11)
+    ds_a = _slice_dataset(full, slice(0, 200), 'synth5-train')
+    ds_b = _slice_dataset(full, slice(200, 320), 'synth5-valid')
+    ds_c = _slice_dataset(full, slice(320, 460), 'synth5-test')
+    for name, ds in (('a.npz', ds_a), ('b.npz', ds_b), ('c.npz', ds_c)):
+        io.save_dict(name, ds)
+
+    np.random.seed(7)
+    cli.main(
+        [
+            'all', 'a.npz', '60', '15', '40', '-s', '5,10,20', '--gdml',
+            '--solver', 'analytic',
+            '--valid_dataset', 'b.npz', '--test_dataset', 'c.npz',
+        ]
+    )
+    assert 'Model saved to' in capsys.readouterr().out
+
+    final = [
+        f for f in os.listdir('.')
+        if f.startswith('synth5-train') and f.endswith('.npz')
+    ]
+    assert final
+    model = io.load_dict(final[0])
+    # Provenance: trained on A, validated on B, tested on C.
+    assert model['md5_train'] == ds_a['md5']
+    assert model['md5_valid'] == ds_b['md5']
+    assert model['md5_test'] == ds_c['md5']
+    assert ds_a['md5'] != ds_b['md5'] != ds_c['md5']
+    f_err = model['f_err']
+    if isinstance(f_err, np.ndarray):
+        f_err = f_err.item()
+    assert f_err['mae'] < 0.35 * np.abs(ds_c['F']).mean()
+
+
+def test_create_perms_roundtrip(dataset_file, tmp_path, monkeypatch):
+    """--perms <file> loads an external permutation table into the task
+    (reference parity: the --perms parser option)."""
+    monkeypatch.chdir(tmp_path)
+    ds = io.load_dict(dataset_file)
+    z = np.asarray(ds['z'])
+    n_atoms = len(z)
+    # A z-preserving transposition (any pair of equal species).
+    perm = np.arange(n_atoms)
+    for a in range(n_atoms):
+        twins = np.flatnonzero(z == z[a])
+        if len(twins) > 1:
+            perm[twins[0]], perm[twins[1]] = twins[1], twins[0]
+            break
+    perms = np.vstack([np.arange(n_atoms), perm])
+    np.savez('perms.npz', perms=perms)
+
+    np.random.seed(8)
+    cli.main(
+        [
+            'create', dataset_file, '20', '10', '-s', '5',
+            '--perms', 'perms.npz', '--task_dir', 'tp',
+        ]
+    )
+    task_files = [f for f in os.listdir('tp') if f.startswith('task-')]
+    assert task_files
+    task = io.load_dict(os.path.join('tp', task_files[0]))
+    np.testing.assert_array_equal(np.asarray(task['perms']), perms)
+
+
+def test_train_lazy_skips_failed(dataset_file, tmp_path, monkeypatch):
+    """--lazy gives up on tasks whose training was attempted but produced
+    no model (reference: sgdml/cli.py:87, tried_training cli.py:1065-1075)."""
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(9)
+    task_dir = cli.create(
+        cli.argparse.Namespace(
+            dataset=dataset_file, n_train=20, n_valid=10, sig=[5],
+            lam=1e-10, gdml=True, no_E=False, E_cstr=False, overwrite=True,
+            task_dir='tasks_lazy', max_memory=None, solver='analytic',
+        )
+    )
+    # Simulate a crashed earlier attempt: marker set, no model produced.
+    task_path = [
+        os.path.join(task_dir, f)
+        for f in os.listdir(task_dir) if f.startswith('task-')
+    ][0]
+    task = io.load_dict(task_path)
+    task['tried_training'] = True
+    io.save_dict(task_path, task)
+
+    paths = cli.train(
+        cli.argparse.Namespace(
+            task=task_dir, valid_dataset=None, overwrite=False,
+            max_memory=None, solver='analytic', devices=None, lazy=True,
+        )
+    )
+    assert paths == []
+    assert not [f for f in os.listdir(task_dir) if f.startswith('model-')]
+
+    # Without --lazy the task trains (and re-marks the attempt).
+    paths = cli.train(
+        cli.argparse.Namespace(
+            task=task_dir, valid_dataset=None, overwrite=False,
+            max_memory=None, solver='analytic', devices=None, lazy=False,
+        )
+    )
+    assert len(paths) == 1 and os.path.exists(paths[0])
