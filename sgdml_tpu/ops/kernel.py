@@ -740,6 +740,60 @@ def assemble_kernel_grid_pair(
     return Ghi, Glo
 
 
+def column_tables(X, Jc, desc_perms, col_3n_idxs, n_atoms, s_perm):
+    """Column-side tables for a force-column subset (traced helper).
+
+    Column ``c = (j, q)``: training point ``j = c // 3N``, partial
+    ``q = c % 3N``. Returns ``(Xjp (C, P, D), Jt_col (C, P, D))`` — the
+    permuted descriptors of the column points and their permuted Jacobian
+    restricted to the single partial q = (atom, xyz) per column, via the
+    incidence factorization ``J[d, 3n+y] = s_perm[p,d,n] * Jc[p,d,y]`` —
+    materializing the full (C, P, D, 3N) Jacobians first costs 11 GB at
+    MD22 scale (measured OOM).
+    """
+    dim_i = 3 * n_atoms
+    Xp, Jcp = perm_tables(X, Jc, desc_perms)
+    col_j = col_3n_idxs // dim_i
+    col_q = col_3n_idxs % dim_i
+    Xjp = Xp[col_j]
+    Jcjp = Jcp[col_j]
+    atom_q = col_q // 3
+    xyz_q = col_q % 3
+    s_sel = jnp.take(s_perm, atom_q, axis=2).transpose(2, 0, 1)  # (C, P, D)
+    j_sel = jnp.take_along_axis(
+        Jcjp, xyz_q[:, None, None, None], axis=3
+    ).squeeze(3)  # (C, P, D)
+    return Xjp, s_sel * j_sel
+
+
+def column_force_tile(Xi, Jci, Xjp, Jt_col, s_id, sig):
+    """Force-block rows of ``K[:, cols]`` for one row tile (traced helper).
+
+    ``Xi (I, D)`` / ``Jci (I, D, 3)`` are the row-point descriptor tables;
+    column tables come from :func:`column_tables`. Returns
+    ``(blk (I*3N, C), u5 (I, C, P), cj (I, C, P))`` — the latter two feed
+    the optional energy-constraint rows.
+    """
+    tile_i, dim_d = Xi.shape
+    dim_i = 3 * s_id.shape[1]
+    Ji = jnp.einsum('dn,idc->idnc', s_id, Jci).reshape(tile_i, dim_d, dim_i)
+
+    # d[i, c, p, :] = x_i - x_c^p
+    d = Xi[:, None, None, :] - Xjp[None, :, :, :]
+    u5 = _SQRT5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+    b, cc = Mat52Coeffs.hess(u5, sig)  # (I, C, P)
+
+    a = jnp.einsum('icpd,idx->icpx', d, Ji)  # J_i^T d
+    cj = jnp.einsum('icpd,cpd->icp', d, Jt_col)  # d^T J_t[:, q]
+    g = jnp.einsum('idx,cpd->icpx', Ji, Jt_col)  # (J_i^T J_t)[:, q]
+
+    blk = jnp.einsum('icp,icpx->icx', 5.0 * b * cj, a) - jnp.einsum(
+        'icp,icpx->icx', cc, g
+    )
+    n_cols = Xjp.shape[0]
+    return blk.transpose(0, 2, 1).reshape(tile_i * dim_i, n_cols), u5, cj
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('n_atoms', 'desc_perms_key', 'tile_i', 'use_E_cstr'),
@@ -765,31 +819,11 @@ def _assemble_columns_jit(
     )
     m, dim_d = X.shape
     dim_i = 3 * n_atoms
-    n_perms = desc_perms.shape[0]
     n_cols = col_3n_idxs.shape[0]
     s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
     s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
 
-    Xp, Jcp = perm_tables(X, Jc, desc_perms)
-
-    # Column c = (j, q): training point j = c // 3N, partial q = c % 3N.
-    col_j = col_3n_idxs // dim_i
-    col_q = col_3n_idxs % dim_i
-
-    # Tables for the column points, gathered once: (C, P, D) / (C, P, D, 3).
-    Xjp = Xp[col_j]
-    Jcjp = Jcp[col_j]
-    # Permuted Jacobian restricted to the single partial q = (atom, xyz)
-    # per column, via the incidence factorization J[d, 3n+y] =
-    # s_perm[p,d,n] * Jc[p,d,y] — materializing the full (C, P, D, 3N)
-    # Jacobians first costs 11 GB at MD22 scale (measured OOM).
-    atom_q = col_q // 3
-    xyz_q = col_q % 3
-    s_sel = jnp.take(s_perm, atom_q, axis=2).transpose(2, 0, 1)  # (C, P, D)
-    j_sel = jnp.take_along_axis(
-        Jcjp, xyz_q[:, None, None, None], axis=3
-    ).squeeze(3)  # (C, P, D)
-    Jt_col = s_sel * j_sel
+    Xjp, Jt_col = column_tables(X, Jc, desc_perms, col_3n_idxs, n_atoms, s_perm)
 
     n_ti = -(-m // tile_i)
     m_pad = n_ti * tile_i
@@ -806,21 +840,7 @@ def _assemble_columns_jit(
         i0 = ti * tile_i
         Xi = jax.lax.dynamic_slice_in_dim(Xr, i0, tile_i, 0)
         Jci = jax.lax.dynamic_slice_in_dim(Jcr, i0, tile_i, 0)
-        Ji = jnp.einsum('dn,idc->idnc', s_id, Jci).reshape(tile_i, dim_d, dim_i)
-
-        # d[i, c, p, :] = x_i - x_c^p
-        d = Xi[:, None, None, :] - Xjp[None, :, :, :]
-        u5 = _SQRT5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
-        b, cc = Mat52Coeffs.hess(u5, sig)  # (I, C, P)
-
-        a = jnp.einsum('icpd,idx->icpx', d, Ji)  # J_i^T d
-        cj = jnp.einsum('icpd,cpd->icp', d, Jt_col)  # d^T J_t[:, q]
-        g = jnp.einsum('idx,cpd->icpx', Ji, Jt_col)  # (J_i^T J_t)[:, q]
-
-        blk = jnp.einsum('icp,icpx->icx', 5.0 * b * cj, a) - jnp.einsum(
-            'icp,icpx->icx', cc, g
-        )
-        blk = blk.transpose(0, 2, 1).reshape(tile_i * dim_i, n_cols)
+        blk, u5, cj = column_force_tile(Xi, Jci, Xjp, Jt_col, s_id, sig)
         K = jax.lax.dynamic_update_slice(K, blk, (i0 * dim_i, 0))
 
         if use_E_cstr:

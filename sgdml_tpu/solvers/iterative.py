@@ -143,13 +143,25 @@ def _factor_apply(Fp, v):
 _init_z = jax.jit(_factor_apply)
 
 
+@jax.jit
+def _init_z_plain(Fp, v):
+    """Plain two-matmul Woodbury apply for the mesh path: with a
+    column-sharded factor, GSPMD partitions ``F v`` over devices (psum on
+    the contraction) — no host-chosen chunking, and no f64-split staging
+    concern on the CPU mesh."""
+    return v - jnp.einsum('kc,k->c', Fp, Fp @ v)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters'),
+    static_argnames=(
+        'n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters',
+        'plain_apply',
+    ),
 )
 def _pcg_chunk(
     state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
-    *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
+    *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters, plain_apply=False,
 ):
     """Jitted fixed-size PCG chunk.
 
@@ -167,7 +179,8 @@ def _pcg_chunk(
         # Fp may be zero-padded along its column axis to a device-count
         # multiple (padded columns contribute nothing to the correction).
         vp = jnp.pad(v, (0, Fp.shape[1] - v.shape[0])).astype(Fp.dtype)
-        out = _factor_apply(Fp, vp)[: v.shape[0]].astype(v.dtype)
+        corr = _init_z_plain if plain_apply else _factor_apply
+        out = corr(Fp, vp)[: v.shape[0]].astype(v.dtype)
         return out / lam
 
     def A_apply(v):
@@ -321,8 +334,36 @@ class Iterative:
         iterative.py:414-471). f64 throughout — the Woodbury correction
         cancels catastrophically at small lam, so lower precision breaks CG
         (measured); memory is controlled by chunking instead.
+
+        With a mesh (and no energy constraints — the MD22-class systems
+        this path exists for train force-only), the build is fully
+        sharded: row-sharded column assembly, per-device triangular
+        solves, psum'd Gram (parallel/spmd.py) — per-device high-water
+        mark k*n/n_dev.
         """
         col_idxs = np.asarray(col_idxs, dtype=np.int64)
+
+        if self.mesh is not None and not use_E_cstr:
+            from ..parallel import spmd
+
+            for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
+                C = -spmd.assemble_kernel_columns_sharded(
+                    X, Jc, dperms, sig, n_atoms, col_idxs, self.mesh
+                )
+                F, lev, ok = spmd.nystrom_factor_sharded(
+                    C, col_idxs, lam, reg, reg, self.mesh
+                )
+                del C
+                if ok:
+                    if reg > 0:
+                        log.debug(
+                            'Nystrom factor needed regularization %g.', reg
+                        )
+                    return F, np.asarray(lev, dtype=np.float64)
+            raise RuntimeError(
+                'Failed to factorize the Nystrom preconditioner despite '
+                'strong regularization. Try a larger sigma.'
+            )
 
         for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
             # The PSD column matrix is created inside the call expression so
@@ -402,10 +443,13 @@ class Iterative:
         # matvec's dominant (M, D) x (D, M*P) matmuls partition over
         # devices; the preconditioner factor is column-sharded so its
         # two-matmul Woodbury apply reduces with one psum.
+        n_dev = (
+            1 if self.mesh is None
+            else int(np.prod(list(self.mesh.shape.values())))
+        )
         if self.mesh is not None:
             from ..parallel.spmd import replicate, shard_batch
 
-            n_dev = int(np.prod(list(self.mesh.shape.values())))
             m_padq = -(-n_train // n_dev) * n_dev
             Xq = shard_batch(
                 jnp.pad(X, ((0, m_padq - n_train), (0, 0))), self.mesh
@@ -447,7 +491,7 @@ class Iterative:
             )
 
         max_n_ind = Iterative.max_n_inducing_pts(
-            n_train, n_atoms, self._max_memory * 1024**3
+            n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev
         )
         # Fresh solves start AT the cap (the strongest preconditioner
         # the budget affords — the converged MD22-class runs never
@@ -509,6 +553,7 @@ class Iterative:
                 desc_perms_key=perms_key,
                 use_E_cstr=use_E_cstr,
                 chunk_iters=CG_CHUNK_ITERS,
+                plain_apply=self.mesh is not None,
             )
 
         def init_state(x_init, Fp_cur):
@@ -517,8 +562,9 @@ class Iterative:
             )
             r = b - A_apply(x)
             rp = jnp.pad(r, (0, Fp_cur.shape[1] - r.shape[0]))
+            init_corr = _init_z_plain if self.mesh is not None else _init_z
             z = (
-                _init_z(Fp_cur, rp.astype(Fp_cur.dtype))[: r.shape[0]]
+                init_corr(Fp_cur, rp.astype(Fp_cur.dtype))[: r.shape[0]]
                 .astype(r.dtype)
                 / lam
             )
@@ -644,7 +690,8 @@ class Iterative:
             grow_cap = min(
                 n_train,
                 Iterative.max_n_inducing_pts(
-                    n_train, n_atoms, self._max_memory * 1024**3
+                    n_train, n_atoms, self._max_memory * 1024**3,
+                    n_dev=n_dev,
                 ),
             )
             if eff <= EFF_RESTART_THRESH:
@@ -742,18 +789,27 @@ class Iterative:
     # -- memory models (reference: iterative.py:827-866) --------------------
 
     @staticmethod
-    def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes):
+    def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes, n_dev=1):
         """Inducing-point budget (reference formula: iterative.py:827-844),
         additionally capped so the preconditioner factor's TPU f64-split
         working set stays within ~40% of the budget. Round 1 measured
         ~32 B per element of the (k, n) factor: 8 B storage + an f32-split
         staging copy + the same again for a loop-hoisted TRANSPOSED copy.
         The Woodbury apply now contracts the k-axis without a transpose,
-        halving that to ~16 B."""
+        halving that to ~16 B.
+
+        ``max_memory_bytes`` is the PER-DEVICE budget; with ``n_dev > 1``
+        the ``(k, n)`` factor (storage and build transients) is
+        column-sharded over the mesh, so its linear-in-k terms scale by
+        the device count — this is what lets the mesh converge systems
+        the single-chip budget cannot (the reference's only lever was a
+        100+ GB host)."""
         sq, lin = 5, 4
         dim_i = 3 * n_atoms
         to_dof = dim_i**2 * 8
-        sq_factor = lin * n_train * to_dof
+        # Factor storage is column-sharded over the mesh; the (k, k)
+        # Cholesky stages stay replicated per device.
+        sq_factor = lin * n_train * to_dof / max(1, int(n_dev))
         ny_factor = sq * to_dof
         n_ind = (
             np.sqrt(sq_factor**2 + 4.0 * ny_factor * max_memory_bytes) - sq_factor
@@ -761,7 +817,7 @@ class Iterative:
 
         n = n_train * dim_i
         split_budget_elems = 0.4 * max_memory_bytes / 16.0
-        n_ind_split_cap = split_budget_elems / (n * dim_i)
+        n_ind_split_cap = split_budget_elems * max(1, int(n_dev)) / (n * dim_i)
         return max(1, min(int(n_ind), int(n_ind_split_cap), n_train))
 
     @staticmethod

@@ -186,3 +186,100 @@ def test_sharded_layout_roundtrip():
     assert y_int.shape == (lay.n_rows,)
     assert (y_int[~lay.mask] == 0).all()
     np.testing.assert_array_equal(lay.gather_vec(y_int), y)
+
+
+def test_mesh_inducing_budget_scales_with_devices():
+    """The inducing-point budget must grow with the mesh: the (k, n)
+    Woodbury factor is column-sharded, so its linear-in-k memory terms
+    scale by the device count (the fix for MD22 M=3000, where the
+    single-chip cap is 3-4 points)."""
+    from sgdml_tpu.solvers.iterative import Iterative
+
+    budget = 15.5 * 1024**3
+    k1 = Iterative.max_n_inducing_pts(3000, 60, budget, n_dev=1)
+    k8 = Iterative.max_n_inducing_pts(3000, 60, budget, n_dev=8)
+    assert k8 > k1
+    assert k8 >= 6 * k1  # near-linear until the replicated k^2 term bites
+    # Backwards compatible default.
+    assert Iterative.max_n_inducing_pts(3000, 60, budget) == k1
+
+
+def test_sharded_nystrom_factor_matches_single(mesh, setup):
+    """The mesh-sharded factor build (row-sharded column assembly +
+    per-device triangular solves + psum'd Gram) must reproduce the
+    single-device Woodbury factor exactly (same columns, same lam)."""
+    from sgdml_tpu.ops.kernel import assemble_kernel_columns
+    from sgdml_tpu.solvers.iterative import _nystrom_factor_from_cols
+
+    ds, n_atoms, m, X, Jc, perms, dperms = setup
+    dim_i = 3 * n_atoms
+    sig, lam = 6.0, 1e-10
+    rng = np.random.default_rng(3)
+    cols = np.sort(rng.choice(m * dim_i, 2 * dim_i, replace=False))
+
+    C1 = -assemble_kernel_columns(X, Jc, dperms, sig, n_atoms, cols)
+    F1, lev1, ok1 = _nystrom_factor_from_cols(C1, cols, lam, 0.0, 0.0)
+    assert ok1
+
+    C8 = spmd.assemble_kernel_columns_sharded(
+        X, Jc, dperms, sig, n_atoms, cols, mesh
+    )
+    # Row-sharded assembly parity (valid rows; padded rows zero).
+    n = m * dim_i
+    np.testing.assert_allclose(
+        np.asarray(C8)[:n], np.asarray(-C1), rtol=1e-12, atol=1e-12
+    )
+    assert np.all(np.asarray(C8)[n:] == 0)
+
+    F8, lev8, ok8 = spmd.nystrom_factor_sharded(
+        -C8, cols, lam, 0.0, 0.0, mesh
+    )
+    assert ok8
+    # Summation order differs (psum'd Gram vs chunked accumulation);
+    # agreement is at roundoff-accumulation level.
+    np.testing.assert_allclose(
+        np.asarray(F8)[:, :n], np.asarray(F1), rtol=1e-6, atol=1e-10
+    )
+    assert np.all(np.asarray(F8)[:, n:] == 0)
+    np.testing.assert_allclose(
+        np.asarray(lev8)[:n], np.asarray(lev1), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_mesh_cg_sharded_preconditioner_converges(mesh):
+    """End-to-end mesh CG *without* energy constraints — the path whose
+    Nystrom factor build runs fully sharded — converges and matches the
+    analytic solution at solver tolerance, with a k-budget above the
+    single-chip cap (tiny per-device memory budget forces the contrast)."""
+    from sgdml_tpu.solvers.iterative import Iterative
+
+    n_atoms, m = 5, 24
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=4 * m, seed=13)
+    trainer = GDMLTrain()
+    np.random.seed(31)
+    task = trainer.create_task(
+        ds, m, ds, 8, sig=6.0, use_sym=True, use_E=True, use_E_cstr=False
+    )
+
+    model_a = GDMLTrain().train(task, solver='analytic')
+
+    # A budget at which one device can afford only a weak preconditioner
+    # but the 8-device mesh affords a stronger one.
+    budget_gb = Iterative.est_memory_requirement(m, 4, n_atoms) / 1024**3
+    k1 = Iterative.max_n_inducing_pts(m, n_atoms, budget_gb * 1024**3, 1)
+    k8 = Iterative.max_n_inducing_pts(m, n_atoms, budget_gb * 1024**3, 8)
+    assert k8 > k1
+
+    np.random.seed(32)
+    model_8 = GDMLTrain(max_memory=budget_gb, mesh=mesh).train(
+        task, solver='cg'
+    )
+    assert float(np.squeeze(model_8['solver_resid'])) <= float(
+        np.squeeze(model_8['solver_tol'])
+    ) * float(np.squeeze(model_8['norm_y_train']))
+
+    Rq = ds['R'][m : m + 11].reshape(11, -1)
+    Ea, Fa = GDMLPredict(model_a).predict(Rq)
+    E8, F8 = GDMLPredict(model_8, mesh=mesh).predict(Rq)
+    f_scale = np.abs(Fa).max()
+    assert np.abs(F8 - Fa).max() / f_scale < 1e-3
