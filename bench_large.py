@@ -132,6 +132,62 @@ def bench_aspirin_analytic():
     print(json.dumps(out))
 
 
+def bench_atat3000_mesh():
+    """MD22 AT-AT scale on the 8-device virtual CPU mesh: the inducing-
+    point budget scales with the device count (the factor is column-
+    sharded and its build runs strip-parallel), so the preconditioner
+    that a single 16 GB chip caps at k=4 points reaches k~26 here — the
+    TPU-native answer to the reference's 100+ GB-host requirement
+    (sgdml/solvers/iterative.py:473-825, README.md:129-132).
+
+    Overridables (environment): SGDML_BENCH_M (default 3000),
+    SGDML_BENCH_MAXS (CG wall-clock budget, default 14400 s).
+    """
+    import os
+
+    import jax
+
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+    from sgdml_tpu.parallel.mesh import default_mesh
+    from sgdml_tpu.solvers.iterative import Iterative
+    from sgdml_tpu.train import GDMLTrain
+
+    m_train = int(os.environ.get('SGDML_BENCH_M', 3000))
+    max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 14400))
+    assert jax.devices()[0].platform == 'cpu', 'mesh bench runs on the CPU mesh'
+    mesh = default_mesh(8)
+
+    ds = generate_md_dataset(n_atoms=60, n_frames=m_train + 600, seed=11)
+    per_dev_gb = 12.0
+    k1 = Iterative.max_n_inducing_pts(m_train, 60, per_dev_gb * 1024**3, 1)
+    k8 = Iterative.max_n_inducing_pts(m_train, 60, per_dev_gb * 1024**3, 8)
+
+    trainer = GDMLTrain(max_memory=per_dev_gb, mesh=mesh)
+    np.random.seed(1)
+    task = trainer.create_task(
+        ds, m_train, ds, 200, sig=25.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    t0 = timeit.default_timer()
+    model = trainer.train(task, solver='cg', solver_max_seconds=max_seconds)
+    t_train = timeit.default_timer() - t0
+    mae, scale = _force_mae(ds, task, model, n_test=300)
+    out = {
+        'config': 'MD22 AT-AT-sized N=60 M=%d iterative, 8-device mesh '
+        '(sharded Nystrom factor)' % m_train,
+        'train_s': round(t_train, 2),
+        'cg_iters': int(model.get('solver_iters', -1)),
+        'k_inducing_pts': int(len(model['inducing_pts_idxs']) // 180),
+        'k_cap_single_device': int(k1),
+        'k_cap_mesh': int(k8),
+        'converged': bool(
+            model['solver_resid'] <= model['solver_tol'] * model['norm_y_train']
+        ),
+        'force_mae': round(mae, 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
 def bench_sym():
     from sgdml_tpu.datasets.synthetic import generate_symmetric_md_dataset
     from sgdml_tpu import perm as perm_mod
@@ -186,11 +242,27 @@ def bench_md():
 
 if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'sym'
+    if which.endswith('_mesh'):
+        # Force the 8-device virtual CPU mesh BEFORE jax backend init
+        # (the environment's sitecustomize force-registers a TPU plugin,
+        # so the config-level override is required too).
+        import os
+
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        flags = os.environ.get('XLA_FLAGS', '')
+        if '--xla_force_host_platform_device_count' not in flags:
+            os.environ['XLA_FLAGS'] = (
+                flags + ' --xla_force_host_platform_device_count=8'
+            ).strip()
+        import jax
+
+        jax.config.update('jax_platforms', 'cpu')
     {
         'aspirin': bench_aspirin,
         'aspirin_analytic': bench_aspirin_analytic,
         'atat': bench_atat,
         'atat3000': bench_atat3000,
+        'atat3000_mesh': bench_atat3000_mesh,
         'sym': bench_sym,
         'md': bench_md,
     }[which]()

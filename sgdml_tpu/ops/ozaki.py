@@ -32,6 +32,10 @@ __all__ = [
     'DEFAULT_SLICES',
     'Q_BITS',
     'split_pair_int8',
+    'split_global_int8',
+    'matvec_sliced',
+    'matvec_sliced_long',
+    'matvec_sliced_long_t',
     'ozaki_gemm_nt',
     'max_contraction_dim',
 ]
@@ -219,6 +223,107 @@ def matvec_sliced(sa, sigma, v, *, q: int = Q_BITS, transpose: bool = False):
         acc = acc.T
     out = acc * sigma.astype(jnp.float64) * sigv.astype(jnp.float64)
     return out[:, 0] if was_vec else out
+
+
+def matvec_sliced_long(sa, sigma, v, *, q: int = Q_BITS, chunk: int = 16384):
+    """``A @ v`` from a global- or per-chunk-scale slice stack whose
+    contraction axis exceeds the exact-int32 bound (~29k at 8 slices):
+    the contraction is split into ``chunk``-wide pieces — each piece's
+    int32 level sums are exact — and the pieces accumulate in f64.
+
+    ``sa``: ``(S, m, n)`` int8 with ``n`` a multiple of ``chunk`` (pad the
+    stack with zero columns at build time; zero slices contribute
+    nothing). ``sigma``: scalar, or ``(n_chunks,)`` when each column chunk
+    was sliced with its own scale. ``v``: f64 ``(n,)``.
+    """
+    S, m, n = sa.shape
+    if n % chunk != 0:
+        raise ValueError('slice stack columns must be a chunk multiple')
+    if chunk > max_contraction_dim(8, q):
+        raise ValueError('chunk overflows exact int32 accumulation')
+    sv, sigv = split_global_int8(v[:, None], n_slices=8, q=q)  # (8, n, 1)
+    n_v = sv.shape[0]
+    keep = max(S, n_v)
+    n_ch = n // chunk
+    per_chunk = getattr(sigma, 'ndim', 0) > 0
+
+    def body(c, acc):
+        c0 = c * chunk
+        levels = [None] * keep
+        for i in range(S):
+            sa_c = jax.lax.dynamic_slice(sa, (i, 0, c0), (1, m, chunk))[0]
+            for j in range(n_v):
+                lv = i + j
+                if lv >= keep:
+                    continue
+                sv_c = jax.lax.dynamic_slice(sv, (j, c0, 0), (1, chunk, 1))[0]
+                p = jax.lax.dot_general(
+                    sa_c, sv_c,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                levels[lv] = p if levels[lv] is None else levels[lv] + p
+        part = jnp.zeros(levels[0].shape, dtype=jnp.float64)
+        for lv in reversed(range(keep)):
+            if levels[lv] is not None:
+                part = part + levels[lv].astype(jnp.float64) * (
+                    2.0 ** (-q * (lv + 2))
+                )
+        if per_chunk:
+            part = part * jax.lax.dynamic_index_in_dim(
+                sigma, c, keepdims=False
+            ).astype(jnp.float64)
+        return acc + part
+
+    acc = jax.lax.fori_loop(
+        0, n_ch, body, jnp.zeros((m, 1), dtype=jnp.float64)
+    )
+    if not per_chunk:
+        acc = acc * sigma.astype(jnp.float64)
+    return (acc * sigv.astype(jnp.float64))[:, 0]
+
+
+def matvec_sliced_long_t(sa, sigma, w, *, q: int = Q_BITS,
+                         chunk: int = 16384):
+    """``A^T @ w`` for the same stack layout as :func:`matvec_sliced_long`.
+
+    The contraction runs over the short ``m`` axis (exact without
+    chunking); per-chunk scales apply to the OUTPUT column blocks.
+    ``w``: f64 ``(m,)``. Returns f64 ``(n,)``.
+    """
+    S, m, n = sa.shape
+    if m > max_contraction_dim(8, q):
+        raise ValueError('row dim overflows exact int32 accumulation')
+    sv, sigv = split_global_int8(w[:, None], n_slices=8, q=q)  # (8, m, 1)
+    n_v = sv.shape[0]
+    keep = max(S, n_v)
+    levels = [None] * keep
+    for i in range(S):
+        for j in range(n_v):
+            lv = i + j
+            if lv >= keep:
+                continue
+            # Transpose the SMALL w-slice, not the resident stack (a dot
+            # contracting the stack's row axis would make XLA hoist a
+            # persistent transposed copy of the whole stack).
+            p = jax.lax.dot_general(
+                sv[j].T, sa[i],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (1, n)
+            levels[lv] = p if levels[lv] is None else levels[lv] + p
+    acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
+    for lv in reversed(range(keep)):
+        if levels[lv] is not None:
+            acc = acc + levels[lv].astype(jnp.float64) * (
+                2.0 ** (-q * (lv + 2))
+            )
+    out = acc[0] * sigv.astype(jnp.float64)
+    if getattr(sigma, 'ndim', 0) > 0:
+        out = out * jnp.repeat(sigma.astype(jnp.float64), n // sigma.shape[0])
+    else:
+        out = out * sigma.astype(jnp.float64)
+    return out
 
 
 def ozaki_gemm_nt(a, b, *, n_slices: int = DEFAULT_SLICES, q: int = Q_BITS,

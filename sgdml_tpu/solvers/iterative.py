@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import descriptor as desc_ops
+from ..ops import ozaki
 from ..ops.kernel import assemble_kernel_columns
 from ..predict import predict_from_tables
 
@@ -152,16 +153,39 @@ def _init_z_plain(Fp, v):
     return v - jnp.einsum('kc,k->c', Fp, Fp @ v)
 
 
+def _factor_apply_ozaki(sF, sigF, v):
+    """``v - F^T (F v)`` from the int8 slice-stack factor (traced helper).
+
+    No f64 dot ever runs: both directions are exact int8-MXU level sums
+    recombined in f64 (ops/ozaki.py), so XLA has nothing to stage for f64
+    emulation — the CG-time working set is the 8 B/elem stack itself,
+    half the 16 B/elem of the chunked-f64 apply (and the matvecs run at
+    int8 rather than emulated-f64 rates)."""
+    chunk = sF.shape[2] // sigF.shape[0]  # per-chunk scales define the grid
+    w = ozaki.matvec_sliced_long(sF, sigF, v, chunk=chunk)
+    return v - ozaki.matvec_sliced_long_t(sF, sigF, w, chunk=chunk)
+
+
+_init_z_ozaki = jax.jit(_factor_apply_ozaki)
+
+
+def _factor_ncols(Fp):
+    """Column count of a factor in either representation (dense (k, n)
+    f64, or the ('ozaki') (slices, sigmas) stack)."""
+    return Fp[0].shape[2] if isinstance(Fp, tuple) else Fp.shape[1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         'n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters',
-        'plain_apply',
+        'apply_mode',
     ),
 )
 def _pcg_chunk(
     state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
-    *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters, plain_apply=False,
+    *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
+    apply_mode='chunk',
 ):
     """Jitted fixed-size PCG chunk.
 
@@ -176,12 +200,16 @@ def _pcg_chunk(
     """
 
     def M_apply(v):
-        # Fp may be zero-padded along its column axis to a device-count
-        # multiple (padded columns contribute nothing to the correction).
-        vp = jnp.pad(v, (0, Fp.shape[1] - v.shape[0])).astype(Fp.dtype)
-        corr = _init_z_plain if plain_apply else _factor_apply
-        out = corr(Fp, vp)[: v.shape[0]].astype(v.dtype)
-        return out / lam
+        # Fp may be zero-padded along its column axis to a device or
+        # slice-chunk multiple (padded columns contribute nothing).
+        vp = jnp.pad(v, (0, _factor_ncols(Fp) - v.shape[0]))
+        if apply_mode == 'ozaki':
+            out = _factor_apply_ozaki(Fp[0], Fp[1], vp)
+        elif apply_mode == 'plain':
+            out = _init_z_plain(Fp, vp.astype(Fp.dtype))
+        else:
+            out = _factor_apply(Fp, vp.astype(Fp.dtype))
+        return out[: v.shape[0]].astype(v.dtype) / lam
 
     def A_apply(v):
         return _matvec_A(
@@ -253,7 +281,37 @@ def _solve_chunk_nogram(L, B_chunk, *, nb):
     return blocked_tri_solve(L, B_chunk, nb=nb)
 
 
-def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
+def _solve_chunk_oz(L, B_chunk, *, nb):
+    """One (k, chunk) triangular solve + its Gram contribution, with the
+    Gram as an Ozaki int8-MXU GEMM (8 slices ~ 48-bit operands, exact
+    level sums) instead of an emulated-f64 ``Y Y^T`` — the factor-build
+    GEMM at int8 rather than 2 TFLOP/s emulated-f64 rates."""
+    from ..ops.linalg import blocked_tri_solve
+
+    Y = blocked_tri_solve(L, B_chunk, nb=nb)
+    hi = Y.astype(jnp.float32)
+    lo = (Y - hi.astype(jnp.float64)).astype(jnp.float32)
+    G = ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=8)
+    return Y, G
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
+def _solve_chunk_final_oz(L, Y_chunk, *, nb):
+    """Pass-2 chunk in slice-output mode: F chunk = L^{-1} Y (donating Y),
+    its leverage-score contribution, and the chunk's int8 slice stack —
+    the f64 F chunk dies inside this program, so the full f64 factor
+    never exists (the build's high-water mark stays ~8 B/elem)."""
+    from ..ops.linalg import blocked_tri_solve
+
+    Fc = blocked_tri_solve(L, Y_chunk, nb=nb)
+    lev = jnp.sum(Fc * Fc, axis=0)
+    s, sig = ozaki.split_global_int8(Fc, n_slices=8)
+    return lev, s, sig
+
+
+def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i,
+                              to_slices: bool = False):
     """Build the Woodbury factor F (k, n) from PSD kernel columns.
 
     C_psd: (n, k) PSD columns (device array). cols: (k,) host indices of
@@ -261,9 +319,11 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     before the two Cholesky stages (the caller's ladder retries with
     larger values on failure).
 
-    Numerics must stay in f64: the Woodbury correction ``(v - F^T F v)/lam``
-    cancels catastrophically at lam ~ 1e-10, so an f32 factor destroys CG
-    convergence (measured). Memory is bounded by a *host-level* pipeline
+    Numerics must stay at ~f64 accuracy: the Woodbury correction
+    ``(v - F^T F v)/lam`` cancels catastrophically at lam ~ 1e-10, so an
+    f32 factor destroys CG convergence (measured); the int8 slice-stack
+    mode (``to_slices``) carries 48 bits below each chunk scale —
+    pair-grade, measured equivalent in CG behavior. Memory is bounded by a *host-level* pipeline
     over column chunks — device loops with (k, n)-sized carries make XLA
     stage one full-width buffer per iteration, which exhausts HBM at MD22
     scale (measured: 67 GB demand at k=5733, n=63000).
@@ -285,7 +345,15 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     for c0 in range(0, n, chunk):
         c1 = min(c0 + chunk, n)
         sl = C_psd[c0:c1].T  # (k, <=chunk)
-        Y, G = _solve_chunk(Lw, sl, nb=nb)
+        if to_slices:
+            # Zero-pad the last chunk to the common width (padded columns
+            # drop out of every product); the Gram runs as an Ozaki int8
+            # GEMM instead of an emulated-f64 Y Y^T.
+            if c1 - c0 < chunk:
+                sl = jnp.pad(sl, ((0, 0), (0, chunk - (c1 - c0))))
+            Y, G = _solve_chunk_oz(Lw, sl, nb=nb)
+        else:
+            Y, G = _solve_chunk(Lw, sl, nb=nb)
         qt_chunks.append(Y)
         gram = gram + G
     del C_psd
@@ -293,6 +361,24 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i):
     L, ok_i = _chol_reg(gram, jnp.asarray(lam + reg_i, dt))
     if not bool(ok_i):
         return None, None, False
+
+    if to_slices:
+        # Pass 2, slice mode: each f64 F chunk lives only inside its own
+        # jitted program (Y donated in, per-chunk-scaled int8 slices out),
+        # so the full f64 factor never exists — the build high-water mark
+        # stays ~8 B/elem and the CG-time factor is the 8-slice stack.
+        lev_chunks, s_chunks, sig_chunks = [], [], []
+        for Y in qt_chunks:
+            lev, sc, sig = _solve_chunk_final_oz(L, Y, nb=nb)
+            lev_chunks.append(lev)
+            s_chunks.append(sc)
+            sig_chunks.append(sig)
+        del qt_chunks
+        sF = jnp.concatenate(s_chunks, axis=2)
+        del s_chunks
+        sigF = jnp.stack(sig_chunks)
+        lev_scores = jnp.concatenate(lev_chunks)[:n]
+        return (sF, sigF), lev_scores, True
 
     # Pass 2: F chunks; Qt chunks are donated away one by one.
     f_chunks = [
@@ -319,11 +405,25 @@ def _largest_divisor(n: int, cap: int) -> int:
 
 class Iterative:
     def __init__(self, gdml_train=None, callback=None, max_memory: float = 12,
-                 mesh=None):
+                 mesh=None, factor_mode: str = 'auto'):
         self.gdml_train = gdml_train
         self.callback = callback
         self._max_memory = max_memory
         self.mesh = mesh
+        # Woodbury factor representation for single-device solves:
+        # 'ozaki' = int8 slice stack (8 B/elem, int8-MXU matvecs,
+        # Ozaki-GEMM build Gram); 'f64' = dense f64 with chunked
+        # emulated-f64 matvecs; 'auto' = ozaki on TPU, f64 elsewhere
+        # (int8 dots are slow on the CPU test backend). The mesh path
+        # keeps its GSPMD-partitioned f64 apply.
+        self.factor_mode = factor_mode
+
+    def _use_ozaki_factor(self) -> bool:
+        if self.mesh is not None:
+            return False
+        if self.factor_mode == 'auto':
+            return jax.devices()[0].platform == 'tpu'
+        return self.factor_mode == 'ozaki'
 
     # -- preconditioner ----------------------------------------------------
 
@@ -347,13 +447,15 @@ class Iterative:
             from ..parallel import spmd
 
             for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
-                C = -spmd.assemble_kernel_columns_sharded(
-                    X, Jc, dperms, sig, n_atoms, col_idxs, self.mesh
-                )
+                # PSD columns created inside the call expression so no
+                # caller binding keeps them alive through the build (they
+                # coexist with the Y strips — the memory high-water mark).
                 F, lev, ok = spmd.nystrom_factor_sharded(
-                    C, col_idxs, lam, reg, reg, self.mesh
+                    -spmd.assemble_kernel_columns_sharded(
+                        X, Jc, dperms, sig, n_atoms, col_idxs, self.mesh
+                    ),
+                    col_idxs, lam, reg, reg, self.mesh,
                 )
-                del C
                 if ok:
                     if reg > 0:
                         log.debug(
@@ -379,6 +481,7 @@ class Iterative:
                 lam,
                 reg,
                 reg,
+                to_slices=self._use_ozaki_factor(),
             )
             if ok:
                 if reg > 0:
@@ -490,8 +593,10 @@ class Iterative:
                 use_E_cstr=use_E_cstr,
             )
 
+        factor_bytes = 9.0 if self._use_ozaki_factor() else 16.0
         max_n_ind = Iterative.max_n_inducing_pts(
-            n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev
+            n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev,
+            factor_bytes=factor_bytes,
         )
         # Fresh solves start AT the cap (the strongest preconditioner
         # the budget affords — the converged MD22-class runs never
@@ -546,6 +651,11 @@ class Iterative:
         b = jnp.asarray(y)
         b_norm = float(np.linalg.norm(y))
 
+        apply_mode = (
+            'plain' if self.mesh is not None
+            else ('ozaki' if self._use_ozaki_factor() else 'chunk')
+        )
+
         def pcg_chunk(state, Fp_cur):
             return _pcg_chunk(
                 state, Fp_cur, Xq, Jcq, X, Jc, sig, lam, b_norm, tol,
@@ -553,7 +663,7 @@ class Iterative:
                 desc_perms_key=perms_key,
                 use_E_cstr=use_E_cstr,
                 chunk_iters=CG_CHUNK_ITERS,
-                plain_apply=self.mesh is not None,
+                apply_mode=apply_mode,
             )
 
         def init_state(x_init, Fp_cur):
@@ -561,13 +671,14 @@ class Iterative:
                 x_init if x_init is not None else np.zeros(n), dtype=b.dtype
             )
             r = b - A_apply(x)
-            rp = jnp.pad(r, (0, Fp_cur.shape[1] - r.shape[0]))
-            init_corr = _init_z_plain if self.mesh is not None else _init_z
-            z = (
-                init_corr(Fp_cur, rp.astype(Fp_cur.dtype))[: r.shape[0]]
-                .astype(r.dtype)
-                / lam
-            )
+            rp = jnp.pad(r, (0, _factor_ncols(Fp_cur) - r.shape[0]))
+            if apply_mode == 'ozaki':
+                z0 = _init_z_ozaki(Fp_cur[0], Fp_cur[1], rp)
+            elif apply_mode == 'plain':
+                z0 = _init_z_plain(Fp_cur, rp)
+            else:
+                z0 = _init_z(Fp_cur, rp)
+            z = z0[: r.shape[0]].astype(r.dtype) / lam
             rz = r @ z
             if not bool(rz > 0):  # PSD guard (see _pcg_chunk body)
                 z = r
@@ -691,7 +802,7 @@ class Iterative:
                 n_train,
                 Iterative.max_n_inducing_pts(
                     n_train, n_atoms, self._max_memory * 1024**3,
-                    n_dev=n_dev,
+                    n_dev=n_dev, factor_bytes=factor_bytes,
                 ),
             )
             if eff <= EFF_RESTART_THRESH:
@@ -789,7 +900,8 @@ class Iterative:
     # -- memory models (reference: iterative.py:827-866) --------------------
 
     @staticmethod
-    def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes, n_dev=1):
+    def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes, n_dev=1,
+                           factor_bytes=16.0):
         """Inducing-point budget (reference formula: iterative.py:827-844),
         additionally capped so the preconditioner factor's TPU f64-split
         working set stays within ~40% of the budget. Round 1 measured
@@ -816,7 +928,12 @@ class Iterative:
         ) / (2 * ny_factor)
 
         n = n_train * dim_i
-        split_budget_elems = 0.4 * max_memory_bytes / 16.0
+        # factor_bytes: effective per-element working-set bytes of the
+        # (k, n) factor. 16 B for the dense-f64 apply (storage + staged
+        # f32-split copies); 9 B for the int8 slice-stack factor (8
+        # slices + v-slice transients), whose build also never holds the
+        # full f64 factor.
+        split_budget_elems = 0.4 * max_memory_bytes / float(factor_bytes)
         n_ind_split_cap = split_budget_elems * max(1, int(n_dev)) / (n * dim_i)
         return max(1, min(int(n_ind), int(n_ind_split_cap), n_train))
 

@@ -228,3 +228,41 @@ def test_cg_with_energy_constraints(ds):
     Ec, Fc = GDMLPredict(m_c).predict(R_test)
     assert np.abs(Fc - Fa).mean() / np.abs(Fa).mean() < 1e-2
     assert np.abs(Ec - Ea).mean() < 5e-2
+
+
+def test_cg_ozaki_factor_matches_f64(ds):
+    """factor_mode='ozaki' (int8 slice-stack Woodbury factor, the TPU
+    default) must converge to the same predictions as the dense-f64
+    factor — the slice stack carries 48 bits below each chunk scale,
+    pair-grade for the cancellation-sensitive correction."""
+    from sgdml_tpu.solvers.iterative import Iterative, _factor_ncols
+
+    trainer = GDMLTrain()
+    np.random.seed(41)
+    task = trainer.create_task(
+        ds, 50, ds, 20, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    from sgdml_tpu.ops.descriptor import descriptor_batch
+    import jax.numpy as jnp
+
+    n_atoms = ds['R'].shape[1]
+    R = task['R_train'].reshape(50, -1)
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange((n_atoms * (n_atoms - 1)) // 2)[None, :]
+    y = task['F_train'].reshape(-1) / np.std(task['F_train'])
+
+    results = {}
+    for mode in ('f64', 'ozaki'):
+        np.random.seed(42)
+        solver = Iterative(trainer, max_memory=12, factor_mode=mode)
+        alphas, tol, iters, resid, rmse, idxs, is_conv = solver.solve(
+            task, np.asarray(X), np.asarray(Jc), dperms, y, 1.0
+        )
+        assert is_conv, mode
+        results[mode] = alphas
+
+    denom = np.linalg.norm(results['f64'])
+    rel = np.linalg.norm(results['ozaki'] - results['f64']) / denom
+    # Both converged to tol=1e-4 along slightly different numerical
+    # paths; agreement at the CG-tolerance level.
+    assert rel < 1e-2, rel

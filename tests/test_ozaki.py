@@ -116,3 +116,46 @@ def test_matvec_sliced_both_orientations():
         ozaki.matvec_sliced(sa, sig, jnp.asarray(v2), transpose=True)
     )
     np.testing.assert_allclose(gotT, A.T @ v2, rtol=0, atol=1e-11 * np.abs(A.T @ v2).max() + 1e-12)
+
+
+def test_matvec_sliced_long_roundtrip():
+    """Chunked long-contraction matvec (and its transpose) with per-chunk
+    scales must reproduce the f64 product to slice-truncation accuracy."""
+    import jax.numpy as jnp
+
+    from sgdml_tpu.ops import ozaki
+
+    rng = np.random.default_rng(5)
+    k, chunk, n_ch = 37, 256, 5
+    n = chunk * n_ch
+    A = rng.normal(size=(k, n)) * np.exp(rng.normal(size=(k, 1)))
+    v = rng.normal(size=(n,))
+    w = rng.normal(size=(k,))
+
+    # Per-chunk slicing, as the factor build produces it.
+    s_chunks, sigs = [], []
+    for c in range(n_ch):
+        s, sig = ozaki.split_global_int8(
+            jnp.asarray(A[:, c * chunk : (c + 1) * chunk]), n_slices=8
+        )
+        s_chunks.append(s)
+        sigs.append(sig)
+    sa = jnp.concatenate(s_chunks, axis=2)
+    sigma = jnp.stack(sigs)
+
+    out = np.asarray(ozaki.matvec_sliced_long(sa, sigma, jnp.asarray(v),
+                                              chunk=chunk))
+    ref = A @ v
+    assert np.max(np.abs(out - ref)) < 1e-10 * np.abs(ref).max()
+
+    out_t = np.asarray(
+        ozaki.matvec_sliced_long_t(sa, sigma, jnp.asarray(w), chunk=chunk)
+    )
+    ref_t = A.T @ w
+    assert np.max(np.abs(out_t - ref_t)) < 1e-10 * np.abs(ref_t).max()
+
+    # Scalar-sigma variant (single global scale).
+    s1, sig1 = ozaki.split_global_int8(jnp.asarray(A), n_slices=8)
+    out1 = np.asarray(ozaki.matvec_sliced_long(s1, sig1, jnp.asarray(v),
+                                               chunk=chunk))
+    assert np.max(np.abs(out1 - ref)) < 1e-10 * np.abs(ref).max()
