@@ -71,20 +71,23 @@ def _lu_solve_neg(K, y, lam):
 
 
 @functools.partial(
-    jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'iters')
+    jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'iters',
+                              'use_E_cstr')
 )
-def _lmax_power(X, Jc, sig, lam, *, n_atoms, desc_perms_key, iters=12):
+def _lmax_power(X, Jc, sig, lam, *, n_atoms, desc_perms_key, iters=12,
+                use_E_cstr=False):
     """Largest eigenvalue of A = -K + lam I via matrix-free power iteration
     (the matvec is a prediction pass; no matrix is formed)."""
     from .iterative import _matvec_A
 
-    n = X.shape[0] * 3 * n_atoms
+    m = X.shape[0]
+    n = m * 3 * n_atoms + (m if use_E_cstr else 0)
 
     def mv(v):
         return _matvec_A(
             v, X, Jc, X, Jc, sig, lam,
             n_atoms=n_atoms, desc_perms_key=desc_perms_key,
-            use_E_cstr=False,
+            use_E_cstr=use_E_cstr,
         )
 
     def body(i, v):
@@ -100,16 +103,111 @@ def _lmax_power(X, Jc, sig, lam, *, n_atoms, desc_perms_key, iters=12):
     return jnp.vdot(v, mv(v))
 
 
+@functools.partial(jax.jit, static_argnames=('desc_perms_key',))
+def _assemble_ee_A(X, sig, lam_p, *, desc_perms_key):
+    """Energy-energy border block of ``A = -K + lam' I``:
+    ``Aee[i, j] = sum_p k(x_i, x_j^p) + lam' delta_ij`` (the negation of
+    the assembled ee kernel block, sgdml/train.py:298-300). ``(m, m)`` is
+    a small border (m <= a few thousand)."""
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    from ..ops.kernel import Mat52Coeffs, _SQRT5 as SQ5
+
+    m = X.shape[0]
+    dp = jnp.asarray(desc_perms)
+    Xp = X[:, dp].reshape(-1, X.shape[1])  # (m*P, D)
+    d = X[:, None, :] - Xp[None, :, :]
+    u5 = SQ5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+    k = Mat52Coeffs.value(u5, sig).reshape(m, m, desc_perms.shape[0])
+    return k.sum(-1) + lam_p * jnp.eye(m, dtype=X.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('desc_perms_key', 'n_atoms', 'tile')
+)
+def _assemble_fe_A(X, Jc, sig, *, desc_perms_key, n_atoms, tile=64):
+    """Force-rows x energy-columns border of ``A = -K``:
+    ``A_fe[(i, x), j] = grad_x k(x_j, x_i^p)^T J_i`` summed over perms
+    (the negation of the assembled ef kernel border, same tile math as
+    _assemble_jit's E blocks; reference sgdml/train.py:251-265). Tiled
+    over the energy columns to bound the (tile, m*P, D) diff tensor.
+    Returns ``(m*3N, m)`` f64."""
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    from ..ops.kernel import (
+        _grad_row_tile, expand_perm_jacobian, perm_incidence, perm_tables,
+    )
+
+    m, dim_d = X.shape
+    dim_i = 3 * n_atoms
+    n_perms = desc_perms.shape[0]
+    s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
+    Xp, Jcp = perm_tables(X, Jc, desc_perms)
+    Jit = expand_perm_jacobian(Jcp, s_perm).reshape(m * n_perms, dim_d, dim_i)
+    Xit = Xp.reshape(m * n_perms, dim_d)
+
+    tile = min(tile, m)
+    n_tj = -(-m // tile)
+    m_pad = n_tj * tile
+    Xc = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+    out = jnp.zeros((m * dim_i, m_pad), dtype=X.dtype)
+
+    def body(tj, out):
+        j0 = tj * tile
+        Xj = jax.lax.dynamic_slice_in_dim(Xc, j0, tile, 0)
+        ef = _grad_row_tile(Xj, Xit, Jit, sig)  # (tile, m*P, 3N)
+        ef = ef.reshape(tile, m, n_perms, dim_i).sum(axis=2)
+        ef = ef.transpose(1, 2, 0).reshape(m * dim_i, tile)
+        return jax.lax.dynamic_update_slice(out, ef, (0, j0))
+
+    out = jax.lax.fori_loop(0, n_tj, body, out)
+    # K's ef border is what _grad_row_tile yields; A = -K.
+    return -out[:, :m]
+
+
+def _border_M_apply(M_ff, G, Ls, n_f):
+    """Exact bordered (Schur-complement) preconditioner apply:
+
+        M = [[P_ff, A_fe], [A_ef, Aee + lam']],
+        G = P_ff^{-1} A_fe,   S = Aee + lam' - A_ef G,   Ls = chol(S)
+
+        M^{-1} v = [P_ff^{-1} v_f - G z_e;  z_e],
+        z_e = S^{-1} (v_e - G^T v_f)
+
+    Symmetric PSD by construction (``G^T v_f == A_ef P_ff^{-1} v_f``),
+    and EXACT for the lam'-shifted bordered matrix up to the factor's
+    precision floor — so the preconditioned condition number keeps the
+    lam'/lam bound that makes the refinement CG converge (a
+    block-diagonal variant that dropped the coupling stalled at ~1e-5
+    relative residual, measured)."""
+
+    def M_apply(v):
+        vf, ve = v[:n_f], v[n_f:]
+        zf0 = M_ff(vf)
+        ze = jax.scipy.linalg.cho_solve(
+            (Ls, True), ve - G.T.astype(ve.dtype) @ vf
+        )
+        zf = zf0 - G.astype(zf0.dtype) @ ze.astype(zf0.dtype)
+        return jnp.concatenate([zf, ze.astype(zf.dtype)])
+
+    return M_apply
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=('n_atoms', 'desc_perms_key', 'max_iters', 'init'),
+    static_argnames=('n_atoms', 'desc_perms_key', 'max_iters', 'init',
+                     'use_E_cstr'),
 )
 def _pcg_chol(
-    state, L32, X, Jc, y, sig, lam, rtol,
-    *, n_atoms, desc_perms_key, max_iters, init=False,
+    state, L32, G, Ls, X, Jc, y, sig, lam, rtol,
+    *, n_atoms, desc_perms_key, max_iters, init=False, use_E_cstr=False,
 ):
     """One chunk of conjugate gradients on the f64 system
-    ``(-K + lam I) x = y`` with a block-grid f32 Cholesky preconditioner.
+    ``(-K + lam I) x = y`` with a block-grid f32 Cholesky preconditioner
+    (extended to an exact bordered preconditioner via ``(G, Ls)`` when
+    ``use_E_cstr`` — see _border_M_apply).
 
     The matvec is the matrix-free f64 prediction pass (exact system); the
     preconditioner application is block-triangular f32 solves. With
@@ -119,20 +217,24 @@ def _pcg_chol(
     """
     from .iterative import _matvec_A
 
+    m = X.shape[0]
     n = y.shape[0]
+    n_f = n - (m if use_E_cstr else 0)
     n_pad = len(L32) * L32[0][0].shape[0]
 
     def A_apply(v):
         return _matvec_A(
             v, X, Jc, X, Jc, sig, lam,
             n_atoms=n_atoms, desc_perms_key=desc_perms_key,
-            use_E_cstr=False,
+            use_E_cstr=use_E_cstr,
         )
 
-    def M_apply(v):
+    def M_ff(v):
         vp = jnp.zeros((n_pad,), dtype=jnp.float32)
         vp = jax.lax.dynamic_update_slice(vp, v.astype(jnp.float32), (0,))
-        return blockchol.solve_grid(L32, vp)[:n].astype(v.dtype)
+        return blockchol.solve_grid(L32, vp)[:n_f].astype(v.dtype)
+
+    M_apply = _border_M_apply(M_ff, G, Ls, n_f) if use_E_cstr else M_ff
 
     b_norm = jnp.linalg.norm(y)
 
@@ -167,13 +269,15 @@ def _pcg_chol(
 @functools.partial(
     jax.jit,
     donate_argnums=(0,),
-    static_argnames=('n_atoms', 'desc_perms_key'),
+    static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr'),
 )
 def _pcg_pair_step(
-    state, sstrips, Dinv, X, Jc, sig, lam, *, n_atoms, desc_perms_key
+    state, sstrips, Dinv, G, Ls, X, Jc, sig, lam,
+    *, n_atoms, desc_perms_key, use_E_cstr=False,
 ):
     """ONE refinement-CG iteration: matrix-free f64 matvec + int8-strip
-    preconditioner solve, fused into a single program.
+    preconditioner solve (plus the dense E-border factor when
+    ``use_E_cstr``), fused into a single program.
 
     Host-stepped (not a while_loop) because XLA's compression-remat
     pass clones large f32 while-loop constants; with the factor stored
@@ -185,22 +289,52 @@ def _pcg_pair_step(
     x, r, z, p, rz = state
     Ap = _matvec_A(
         p, X, Jc, X, Jc, sig, lam,
-        n_atoms=n_atoms, desc_perms_key=desc_perms_key, use_E_cstr=False,
+        n_atoms=n_atoms, desc_perms_key=desc_perms_key,
+        use_E_cstr=use_E_cstr,
     )
     alpha = rz / (p @ Ap)
     x = x + alpha * p
     r = r - alpha * Ap
-    z = pairchol.solve_strips_int8(sstrips, Dinv, r)
+    z = _pair_M_apply(sstrips, Dinv, G, Ls, r, X.shape[0], use_E_cstr)
     rz_new = r @ z
     beta = rz_new / rz
     p = z + beta * p
     return (x, r, z, p, rz_new), jnp.linalg.norm(r)
 
 
-@jax.jit
-def _pcg_pair_start(sstrips, Dinv, y):
-    z0 = pairchol.solve_strips_int8(sstrips, Dinv, y)
+def _pair_M_apply(sstrips, Dinv, G, Ls, v, m, use_E_cstr):
+    if not use_E_cstr:
+        return pairchol.solve_strips_int8(sstrips, Dinv, v)
+    M_ff = functools.partial(pairchol.solve_strips_int8, sstrips, Dinv)
+    return _border_M_apply(M_ff, G, Ls, v.shape[0] - m)(v)
+
+
+@functools.partial(jax.jit, static_argnames=('use_E_cstr',))
+def _pcg_pair_start(sstrips, Dinv, G, Ls, y, *, use_E_cstr=False):
+    z0 = _pair_M_apply(sstrips, Dinv, G, Ls, y, Ls.shape[0], use_E_cstr)
     return (jnp.zeros_like(y), y, z0, z0, y @ z0)
+
+
+@jax.jit
+def _border_pieces_grid(L32, A_fe, Aee):
+    """Bordered-preconditioner pieces for the f32 grid factor:
+    ``G = P_ff^{-1} A_fe`` (multi-RHS block-triangular solves),
+    ``Ls = chol(Aee + lam' - A_ef G)``."""
+    n_f = A_fe.shape[0]
+    n_pad = len(L32) * L32[0][0].shape[0]
+    B = jnp.zeros((n_pad, A_fe.shape[1]), dtype=jnp.float32)
+    B = jax.lax.dynamic_update_slice(B, A_fe.astype(jnp.float32), (0, 0))
+    G = blockchol.solve_grid(L32, B)[:n_f]  # f32 (n_f, m)
+    S = Aee - A_fe.T @ G.astype(Aee.dtype)
+    return G, jnp.linalg.cholesky(S)
+
+
+@jax.jit
+def _border_pieces_pair(sstrips, Dinv, A_fe, Aee):
+    """Bordered-preconditioner pieces for the pair-precision factor."""
+    G = pairchol.solve_strips_int8(sstrips, Dinv, A_fe)  # f64 (n_f, m)
+    S = Aee - A_fe.T @ G
+    return G, jnp.linalg.cholesky(S)
 
 
 class Analytic:
@@ -243,11 +377,12 @@ class Analytic:
         # 533 s at n=12,600 where the f32-grid path takes 28 s and the
         # pair path less), so anything beyond ~8k unknowns prefers the
         # factored-precision paths even when dense f64 would fit.
-        n_total = n_train * 3 * n_atoms
+        n_total = n_train * 3 * n_atoms + (n_train if use_E_cstr else 0)
         if (
-            Analytic.est_memory_requirement(n_train, n_atoms) > budget
+            Analytic.est_memory_requirement(n_train, n_atoms, use_E_cstr)
+            > budget
             or n_total > 8192
-        ) and not use_E_cstr:
+        ):
             # Route by conditioning: the f32 grid's factor is ~5x
             # cheaper, and with lam >= ~1e-7 lmax its unshifted (or
             # first-rung) factorization holds, so CG is short either
@@ -264,6 +399,7 @@ class Analytic:
                 _lmax_power(
                     jnp.asarray(R_desc), jnp.asarray(R_d_desc), sig, lam,
                     n_atoms=n_atoms, desc_perms_key=pk,
+                    use_E_cstr=use_E_cstr,
                 )
             )
             if (
@@ -361,6 +497,7 @@ class Analytic:
     ):
         """Large-system closed-form solve: f32 block-grid Cholesky
         preconditioner + f64 matrix-free refinement CG (module docstring)."""
+        use_E_cstr = bool(task.get('use_E_cstr', False))
         dim_i = 3 * n_atoms
         m = R_desc.shape[0]
         m_pad = -(-m // 8) * 8
@@ -383,6 +520,7 @@ class Analytic:
                 _lmax_power(
                     X64, Jc64, sig, lam,
                     n_atoms=n_atoms, desc_perms_key=perms_key,
+                    use_E_cstr=use_E_cstr,
                 )
             )
 
@@ -415,12 +553,28 @@ class Analytic:
                 'shift; the kernel matrix is numerically degenerate. '
                 'Try a different sigma.'
             )
+        # Energy-constraint border: exact bordered preconditioner at the
+        # same lam' (Schur complement through the factor — see
+        # _border_M_apply). Reference coverage: sgdml/train.py:235-300
+        # E-constraint blocks x its analytic solver class.
+        if use_E_cstr:
+            A_fe = _assemble_fe_A(
+                X64, Jc64, sig, desc_perms_key=perms_key, n_atoms=n_atoms
+            )
+            Aee = _assemble_ee_A(
+                X64, sig, lam_p_used, desc_perms_key=perms_key
+            )
+            G, Ls = _border_pieces_grid(L32, A_fe, Aee)
+            del A_fe, Aee
+        else:
+            G = Ls = jnp.zeros((1, 1), X64.dtype)
         t_assemble = timeit.default_timer() - t0
         log.info(
             'Assembled+factorized %dx%d f32 packed triangle in %.2f s '
-            '(lmax=%.3e, lam\'=%g%s).',
+            '(lmax=%.3e, lam\'=%g%s%s).',
             spec.n, spec.n, t_assemble, lmax, lam_p_used,
             '' if lam_p_used == lam else ' [shifted for f32 stability]',
+            ' [+%d-row E border]' % m if use_E_cstr else '',
         )
 
         t0 = timeit.default_timer()
@@ -434,9 +588,10 @@ class Analytic:
         chunk = 250
         for _ in range(-(-PCG_MAX_ITERS // chunk)):
             state, resid = _pcg_chol(
-                state, L32, X64, Jc64, y_dev, sig, lam, PCG_RTOL,
+                state, L32, G, Ls, X64, Jc64, y_dev, sig, lam, PCG_RTOL,
                 n_atoms=n_atoms, desc_perms_key=perms_key,
                 max_iters=chunk, init=state is None,
+                use_E_cstr=use_E_cstr,
             )
             it_done = int(state[5])  # host sync per chunk
             iters += it_done
@@ -490,6 +645,7 @@ class Analytic:
         the stability shift lam' sits orders of magnitude below the f32
         grid's (~3e-7 lmax) — and the refinement CG converges in
         ~sqrt(lam'_f32 / lam'_pair) fewer iterations."""
+        use_E_cstr = bool(task.get('use_E_cstr', False))
         dim_i = 3 * n_atoms
         m = R_desc.shape[0]
         m_pad = -(-m // 8) * 8
@@ -512,6 +668,7 @@ class Analytic:
                 _lmax_power(
                     X64, Jc64, sig, lam,
                     n_atoms=n_atoms, desc_perms_key=perms_key,
+                    use_E_cstr=use_E_cstr,
                 )
             )
 
@@ -581,25 +738,42 @@ class Analytic:
             'leaf inverses + int8 repack: %.1f s.',
             timeit.default_timer() - ts,
         )
+        # Energy-constraint border (see _solve_grid_pcg): exact bordered
+        # preconditioner through the pair factor at the same lam'.
+        if use_E_cstr:
+            A_fe = _assemble_fe_A(
+                X64, Jc64, sig, desc_perms_key=perms_key, n_atoms=n_atoms
+            )
+            Aee = _assemble_ee_A(
+                X64, sig, lam_p_used, desc_perms_key=perms_key
+            )
+            G, Ls = _border_pieces_pair(sstrips, Dinv, A_fe, Aee)
+            del A_fe, Aee
+        else:
+            G = Ls = jnp.zeros((1, 1), X64.dtype)
         t_assemble = timeit.default_timer() - t0
         log.info(
             'Assembled+factorized %dx%d pair-precision (f32+bf16) triangle '
-            'in %.2f s (lmax=%.3e, lam\'=%g%s).',
+            'in %.2f s (lmax=%.3e, lam\'=%g%s%s).',
             spec.n, spec.n, t_assemble, lmax, lam_p_used,
             '' if lam_p_used == lam else ' [shifted for pair stability]',
+            ' [+%d-row E border]' % m if use_E_cstr else '',
         )
 
         t0 = timeit.default_timer()
         b_norm = max(float(np.linalg.norm(y)), 1e-300)
-        state = _pcg_pair_start(sstrips, Dinv, y_dev)
+        state = _pcg_pair_start(
+            sstrips, Dinv, G, Ls, y_dev, use_E_cstr=use_E_cstr
+        )
         it, rel, check = 0, 1.0, 10
         # Best finite iterate at the host sync points: a CG breakdown
         # (non-finite residual) must never return poisoned alphas.
         best_x, best_rel = None, np.inf
         while it < PCG_MAX_ITERS:
             state, rn = _pcg_pair_step(
-                state, sstrips, Dinv, X64, Jc64, sig, lam,
+                state, sstrips, Dinv, G, Ls, X64, Jc64, sig, lam,
                 n_atoms=n_atoms, desc_perms_key=perms_key,
+                use_E_cstr=use_E_cstr,
             )
             it += 1
             if it % check == 0 or it == PCG_MAX_ITERS:
@@ -670,11 +844,11 @@ class Analytic:
         return int(3.5 * n**2 + 8 * n * spec.b + 3e8)
 
     @staticmethod
-    def est_memory_requirement(n_train, n_atoms):
+    def est_memory_requirement(n_train, n_atoms, use_E_cstr=False):
         """Bytes needed on device for the dense f64 path: K + Cholesky
         factor + solve scratch (reference formula:
         sgdml/solvers/analytic.py:153-159)."""
-        n = n_train * 3 * n_atoms
+        n = n_train * 3 * n_atoms + (n_train if use_E_cstr else 0)
         return 3 * n**2 * 8 + n * 8
 
     @staticmethod

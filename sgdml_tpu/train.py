@@ -334,15 +334,14 @@ class GDMLTrain:
         if solver is None:
             budget = self._max_memory * 1024**3
             use_E_cstr = bool(task.get('use_E_cstr', False))
-            # Dense f64 for small systems; the f32 tree-packed path extends
+            # Dense f64 for small systems; the f32 block-grid path extends
             # the analytic solver ~5x further in M (it stores only the
-            # triangle, in f32) but does not cover energy constraints.
+            # triangle, in f32), with energy constraints carried as a
+            # dense border block (Analytic._solve_grid_pcg).
             use_analytic = (
-                Analytic.est_memory_requirement(n_train, n_atoms) < budget
-                or (
-                    not use_E_cstr
-                    and Analytic.est_memory_grid(n_train, n_atoms) < budget
-                )
+                Analytic.est_memory_requirement(n_train, n_atoms, use_E_cstr)
+                < budget
+                or Analytic.est_memory_grid(n_train, n_atoms) < budget
             )
             solver = 'analytic' if use_analytic else 'cg'
 

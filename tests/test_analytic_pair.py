@@ -130,3 +130,93 @@ def test_pair_ladder_falls_back_to_f32_grid(monkeypatch):
         )
     ) - y
     assert np.linalg.norm(r) / np.linalg.norm(y) < 1e-6
+
+
+def test_pair_pcg_with_energy_constraints():
+    """E-constrained system through the pair path: the force block is
+    factored in pair precision and the (m, m) energy border carries a
+    dense f64 factor; CG on the full bordered f64 system must match the
+    dense solve (reference coverage: sgdml/train.py:235-300 E-constraint
+    blocks x the analytic solver class)."""
+    n_atoms, m, sig, lam = 5, 40, 4.0, 1e-10
+    X, Jc, dperms, F = _setup(m, n_atoms)
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=m + 4, seed=3)
+    E = ds['E'][:m]
+    std = np.std(F)
+    y = np.concatenate([F.reshape(-1), -(E - E.mean())]) / std
+    task = {
+        'sig': sig,
+        'lam': lam,
+        'R_train': np.zeros((m, n_atoms, 3)),
+        'use_E_cstr': True,
+    }
+
+    solver = Analytic(max_memory=64)
+    alphas_pair = solver._solve_pair_pcg(
+        task, np.asarray(X), np.asarray(Jc), dperms, y, sig, lam, n_atoms,
+        target_block=512,
+    )
+    assert solver.pcg_iters > 0
+    assert alphas_pair.shape == y.shape
+
+    alphas_dense = Analytic(max_memory=64).solve(
+        task, np.asarray(X), np.asarray(Jc), dperms, y
+    )
+
+    perms_key = (
+        np.ascontiguousarray(dperms.astype(np.int64)).tobytes(), dperms.shape
+    )
+
+    def predictions(a):
+        return np.asarray(
+            _matvec_A(
+                jnp.asarray(-a), X, Jc, X, Jc, sig, 0.0,
+                n_atoms=n_atoms, desc_perms_key=perms_key, use_E_cstr=True,
+            )
+        )
+
+    p_pair, p_dense = predictions(alphas_pair), predictions(alphas_dense)
+    rel = np.linalg.norm(p_pair - p_dense) / np.linalg.norm(p_dense)
+    assert rel < 1e-6, rel
+
+
+def test_grid_pcg_with_energy_constraints_routing():
+    """A large E-constrained system must route to the factored grid path
+    (no silent fall-through to dense f64/CG) and reproduce the dense
+    solution."""
+    n_atoms, m, sig, lam = 5, 40, 4.0, 1e-10
+    X, Jc, dperms, F = _setup(m, n_atoms)
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=m + 4, seed=3)
+    E = ds['E'][:m]
+    y = np.concatenate([F.reshape(-1), -(E - E.mean())]) / np.std(F)
+    task = {
+        'sig': sig,
+        'lam': lam,
+        'R_train': np.zeros((m, n_atoms, 3)),
+        'use_E_cstr': True,
+    }
+
+    # Tiny budget: Analytic.solve must route through the factored path.
+    small = Analytic(max_memory=1e-9)
+    alphas_grid = small.solve(task, np.asarray(X), np.asarray(Jc), dperms, y)
+    assert small.pcg_iters > 0  # factored path actually ran
+
+    alphas_dense = Analytic(max_memory=64).solve(
+        task, np.asarray(X), np.asarray(Jc), dperms, y
+    )
+    perms_key = (
+        np.ascontiguousarray(dperms.astype(np.int64)).tobytes(), dperms.shape
+    )
+
+    def predictions(a):
+        return np.asarray(
+            _matvec_A(
+                jnp.asarray(-a), X, Jc, X, Jc, sig, 0.0,
+                n_atoms=n_atoms, desc_perms_key=perms_key, use_E_cstr=True,
+            )
+        )
+
+    rel = np.linalg.norm(
+        predictions(alphas_grid) - predictions(alphas_dense)
+    ) / np.linalg.norm(predictions(alphas_dense))
+    assert rel < 1e-6, rel
