@@ -62,7 +62,7 @@ def build_tables(R_desc, R_d_desc_alpha, desc_perms):
     return Xt, JA
 
 
-@functools.partial(jax.jit, static_argnames=('n_atoms', 'with_forces'))
+@functools.partial(jax.jit, static_argnames=('n_atoms', 'with_forces', 'mm'))
 def predict_from_tables(
     Xq,
     Jcq,
@@ -75,12 +75,20 @@ def predict_from_tables(
     *,
     n_atoms: int,
     with_forces: bool = True,
+    mm: str = 'native',
 ):
     """Batched (E, F) prediction from flattened permuted tables.
 
     Xq: ``(B, D)`` query descriptors. Jcq: ``(B, D, 3)`` query compressed
     Jacobians. Xt/JA: ``(T, D)`` tables. alphas_E_lin: ``(T,)`` permuted
     energy coefficients or None. Returns ``E (B,)`` and ``F (B, 3N)``.
+
+    ``mm='ozaki'``: run the four O(B*T*D) matmuls as Ozaki int8-MXU GEMMs
+    (6 slices, ~36-bit operands — truncation ~1e-11 of the row scales,
+    far below the iterative solver's 1e-4 CG tolerance this mode exists
+    for, and ~6x the emulated-f64 matmul rate on TPU). The elementwise
+    kernel coefficients stay f64. Falls back to native dots when a
+    contraction dimension exceeds the exact-int32 bound.
     """
     if Xq.dtype == jnp.float32:
         # True-f32 products: TPU default-precision f32 matmuls use bf16
@@ -94,13 +102,38 @@ def predict_from_tables(
             )
     return _predict_from_tables_body(
         Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c,
-        n_atoms=n_atoms, with_forces=with_forces,
+        n_atoms=n_atoms, with_forces=with_forces, mm=mm,
     )
 
 
+def _ozaki_nt(a, bt, n_slices=6):
+    """``a @ bt`` (bt already transposed, shape (k, n)) as an Ozaki int8
+    GEMM over f64 operands split to (f32, f32) pairs."""
+    from .ops.ozaki import ozaki_gemm_nt
+
+    a_hi = a.astype(jnp.float32)
+    a_lo = (a - a_hi.astype(jnp.float64)).astype(jnp.float32)
+    b = bt.T
+    b_hi = b.astype(jnp.float32)
+    b_lo = (b - b_hi.astype(jnp.float64)).astype(jnp.float32)
+    return ozaki_gemm_nt(a_hi, b_hi, lo_a=a_lo, lo_b=b_lo, n_slices=n_slices)
+
+
 def _predict_from_tables_body(
-    Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c, *, n_atoms, with_forces
+    Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c, *, n_atoms, with_forces,
+    mm='native',
 ):
+    if mm == 'ozaki':
+        from .ops.ozaki import max_contraction_dim
+
+        cap = max_contraction_dim(6)
+        if max(Xt.shape[0], Xt.shape[1]) > cap:
+            mm = 'native'  # contraction overflows exact int32; stay f64
+
+    def mm_nt(a, bt):
+        """a @ bt with bt pre-transposed (k, n)."""
+        return _ozaki_nt(a, bt) if mm == 'ozaki' else a @ bt
+
     sig = jnp.asarray(sig, dtype=Xq.dtype)
 
     # Center both sides on the table mean. Distances and differences are
@@ -115,7 +148,7 @@ def _predict_from_tables_body(
 
     xq_sq = jnp.sum(Xq * Xq, axis=1)  # (B,)
     xt_sq = jnp.sum(Xt * Xt, axis=1)  # (T,)
-    gram = Xq @ Xt.T  # (B, T) MXU
+    gram = mm_nt(Xq, Xt.T)  # (B, T) MXU
     u2 = jnp.maximum(xq_sq[:, None] - 2.0 * gram + xt_sq[None, :], 0.0)
     u5 = _SQRT5 * jnp.sqrt(u2)
 
@@ -124,7 +157,7 @@ def _predict_from_tables_body(
     w2 = b1 * (u5 + sig)
 
     tja = jnp.sum(Xt * JA, axis=1)  # (T,)
-    a = Xq @ JA.T - tja[None, :]  # (B, T): d . (J alpha), centering-invariant
+    a = mm_nt(Xq, JA.T) - tja[None, :]  # (B, T): d.(J alpha), centering-inv.
 
     E = jnp.sum(a * w2, axis=1)
 
@@ -136,12 +169,12 @@ def _predict_from_tables_body(
         return E * std + c, None
 
     w1 = a * b1 * (5.0 / sig)
-    F_d = jnp.sum(w1, axis=1)[:, None] * Xq - w1 @ Xt  # (B, D)
-    F_d = F_d - w2 @ JA
+    F_d = jnp.sum(w1, axis=1)[:, None] * Xq - mm_nt(w1, Xt)  # (B, D)
+    F_d = F_d - mm_nt(w2, JA)
 
     if alphas_E_lin is not None:
         w3 = w2 * alphas_E_lin[None, :]
-        F_d = F_d + jnp.sum(w3, axis=1)[:, None] * Xq - w3 @ Xt
+        F_d = F_d + jnp.sum(w3, axis=1)[:, None] * Xq - mm_nt(w3, Xt)
 
     F = desc_ops.vec_dot_jac(Jcq, F_d, n_atoms) * std
     return E * std + c, F

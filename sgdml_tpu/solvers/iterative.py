@@ -60,9 +60,13 @@ CG_CHUNK_ITERS = 50  # CG iterations per jitted chunk
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr'))
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_atoms', 'desc_perms_key', 'use_E_cstr', 'mm'),
+)
 def _matvec_A(
-    v, Xq, Jcq, X, Jc, sig, lam, *, n_atoms, desc_perms_key, use_E_cstr
+    v, Xq, Jcq, X, Jc, sig, lam, *, n_atoms, desc_perms_key, use_E_cstr,
+    mm='native',
 ):
     """A v = -predict_train(v) + lam v, fully on device.
 
@@ -93,7 +97,7 @@ def _matvec_A(
         aE = jnp.repeat(v_E, desc_perms.shape[0])
 
     E, F = predict_from_tables(
-        Xq, Jcq, Xt, JA, aE, sig, 1.0, 0.0, n_atoms=n_atoms
+        Xq, Jcq, Xt, JA, aE, sig, 1.0, 0.0, n_atoms=n_atoms, mm=mm
     )
     # The query side may be zero-padded to a device-count multiple for
     # sharding; only the first m rows are real training points.
@@ -179,13 +183,13 @@ def _factor_ncols(Fp):
     jax.jit,
     static_argnames=(
         'n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters',
-        'apply_mode',
+        'apply_mode', 'mm',
     ),
 )
 def _pcg_chunk(
     state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
     *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
-    apply_mode='chunk',
+    apply_mode='chunk', mm='native',
 ):
     """Jitted fixed-size PCG chunk.
 
@@ -217,6 +221,7 @@ def _pcg_chunk(
             n_atoms=n_atoms,
             desc_perms_key=desc_perms_key,
             use_E_cstr=use_E_cstr,
+            mm=mm,
         )
 
     def cond(carry):
@@ -410,6 +415,10 @@ class Iterative:
         self.callback = callback
         self._max_memory = max_memory
         self.mesh = mesh
+        # CG matvec matmul mode: 'ozaki' runs the prediction pass's
+        # O(M^2 P D) matmuls as int8-MXU Ozaki GEMMs (6 slices — ample
+        # for the 1e-4 CG tolerance, ~6x emulated-f64 matmul rate);
+        # resolved by the same auto gate as the factor (TPU = ozaki).
         # Woodbury factor representation for single-device solves:
         # 'ozaki' = int8 slice stack (8 B/elem, int8-MXU matvecs,
         # Ozaki-GEMM build Gram); 'f64' = dense f64 with chunked
@@ -586,6 +595,9 @@ class Iterative:
             return Fp_new
 
         def A_apply(v):
+            # The exact f64 matvec: used for the initial residual and as
+            # the ground truth the CG residual is measured against (the
+            # in-loop matvec may run in ozaki mode).
             return _matvec_A(
                 v, Xq, Jcq, X, Jc, sig, lam,
                 n_atoms=n_atoms,
@@ -655,6 +667,7 @@ class Iterative:
             'plain' if self.mesh is not None
             else ('ozaki' if self._use_ozaki_factor() else 'chunk')
         )
+        mv_mm = 'ozaki' if self._use_ozaki_factor() else 'native'
 
         def pcg_chunk(state, Fp_cur):
             return _pcg_chunk(
@@ -664,6 +677,7 @@ class Iterative:
                 use_E_cstr=use_E_cstr,
                 chunk_iters=CG_CHUNK_ITERS,
                 apply_mode=apply_mode,
+                mm=mv_mm,
             )
 
         def init_state(x_init, Fp_cur):

@@ -236,3 +236,34 @@ def test_typed_model_front_door(tmp_path):
 
     with pytest.raises(TypeError):
         GDMLPredict(42)
+
+
+def test_predict_from_tables_ozaki_matches_native():
+    """mm='ozaki' (int8-MXU GEMMs for the four big matmuls) must match the
+    native-f64 contraction far below the iterative solver's 1e-4 CG
+    tolerance it serves."""
+    rng = np.random.default_rng(7)
+    B, M, n_atoms = 6, 12, 5
+    D = n_atoms * (n_atoms - 1) // 2
+    from sgdml_tpu.ops.descriptor import descriptor_batch
+
+    R = rng.normal(size=(B + M, n_atoms * 3)) * 2.0
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    Xq, Jcq = X[:B], Jc[:B]
+    Xt = X[B:]
+    JA = jnp.asarray(rng.normal(size=(M, D)))
+    aE = jnp.asarray(rng.normal(size=(M,)))
+
+    for alphas_E in (None, aE):
+        E0, F0 = predict_from_tables(
+            Xq, Jcq, Xt, JA, alphas_E, 4.0, 1.3, 0.2, n_atoms=n_atoms
+        )
+        E1, F1 = predict_from_tables(
+            Xq, Jcq, Xt, JA, alphas_E, 4.0, 1.3, 0.2, n_atoms=n_atoms,
+            mm='ozaki',
+        )
+        f_scale = np.abs(np.asarray(F0)).max()
+        assert np.abs(np.asarray(E1) - np.asarray(E0)).max() < 1e-8 * max(
+            1.0, np.abs(np.asarray(E0)).max()
+        )
+        assert np.abs(np.asarray(F1) - np.asarray(F0)).max() < 1e-8 * f_scale
