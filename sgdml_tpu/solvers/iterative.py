@@ -642,8 +642,13 @@ class Iterative:
                 'Estimating leverage scores (k=%d inducing points).',
                 n_inducing_pts,
             )
+            t_lev = timeit.default_timer()
             lev_scores = self._lev_scores(
                 X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
+            )
+            log.info(
+                'Leverage scores done in %.1f s.',
+                timeit.default_timer() - t_lev,
             )
             inducing_pts_idxs = self.inducing_pts_from_lev_scores(
                 lev_scores[: n_train * dim_i], n_inducing_pts * dim_i

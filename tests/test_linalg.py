@@ -63,3 +63,32 @@ def test_blocked_cholesky_sharded(rng):
     x_ref = np.asarray(jnp.linalg.solve(A, b))
     x_sh = np.asarray(linalg.cho_solve_blocked(A_sharded, b, nb=16))
     np.testing.assert_allclose(x_sh, x_ref, rtol=1e-8)
+
+
+def test_cho_solve_blocked_2d_mesh():
+    """Blocked Cholesky under a 2-D mesh sharding (P('r','c') matrix):
+    GSPMD partitions the panel solves and rank-nb updates over both axes
+    — the layout groundwork for beyond-pod-slice solves (mesh_2d)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sgdml_tpu.parallel.mesh import mesh_2d
+
+    rng = np.random.default_rng(11)
+    n = 64
+    B = rng.normal(size=(n, n))
+    A = B @ B.T + n * np.eye(n)
+    b = rng.normal(size=(n,))
+
+    mesh = mesh_2d(2, 4)
+    A_sh = jax.device_put(jnp.asarray(A), NamedSharding(mesh, P('r', 'c')))
+    b_sh = jax.device_put(jnp.asarray(b), NamedSharding(mesh, P('r')))
+    x = np.asarray(linalg.cho_solve_blocked(A_sh, b_sh, nb=16))
+    x_ref = np.linalg.solve(A, b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_init_distributed_noop_by_default():
+    from sgdml_tpu.parallel.mesh import init_distributed
+
+    assert init_distributed() is False  # flag off -> no-op
