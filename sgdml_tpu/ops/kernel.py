@@ -214,7 +214,8 @@ def gram_maps(desc_perms: np.ndarray, n_atoms: int):
 
 
 def hessian_tile_compressed(
-    Xi, Jci, Xtp, Jctp, sig, s, s_perm, g_idx, sgn, a_diag, diag_col
+    Xi, Jci, Xtp, Jctp, sig, s, s_perm, g_idx, sgn, a_diag, diag_col,
+    mm='native',
 ):
     """Perm-summed kernel Hessian blocks from *compressed* Jacobians.
 
@@ -232,6 +233,14 @@ def hessian_tile_compressed(
     s: ``(D, N)`` incidence. s_perm: ``(P, D, N)`` permuted incidences.
     g_idx/sgn/a_diag/diag_col: outputs of :func:`gram_maps` (device arrays).
 
+    ``mm='ozaki'``: run the three D-contraction einsums (the gradient
+    contractions ``a``/``c`` and the diagonal-slot Gram ``t2``) as Ozaki
+    int8-MXU GEMMs over (f32, f32) pair operands (7 slices — truncation
+    below the pair-storage floor the pair assembly targets). The
+    elementwise pieces (d, Matern coefficients, outer products, gathers)
+    stay f64. Prototype for the TPU pair-assembly path, where these
+    contractions otherwise run at the emulated-f64 rate.
+
     Returns
     -------
     ``(I, 3N, T, 3N)`` tile, already summed over permutations.
@@ -241,6 +250,18 @@ def hessian_tile_compressed(
     n_atoms = s.shape[1]
     atom_ids = jnp.arange(n_atoms)
 
+    if mm == 'ozaki':
+        from . import ozaki as _oz
+
+        def _oz_nt(a2, b2):
+            a_hi = a2.astype(jnp.float32)
+            a_lo = (a2 - a_hi.astype(jnp.float64)).astype(jnp.float32)
+            b_hi = b2.astype(jnp.float32)
+            b_lo = (b2 - b_hi.astype(jnp.float64)).astype(jnp.float32)
+            return _oz.ozaki_gemm_nt(
+                a_hi, b_hi, lo_a=a_lo, lo_b=b_lo, n_slices=7
+            )
+
     def body(acc, inp):
         xt, jct, sp, gf, sg, ad, dc = inp
         d = Xi[:, None, :] - xt[None, :, :]  # (I, T, D)
@@ -249,13 +270,27 @@ def hessian_tile_compressed(
 
         # Gradient contractions through the incidence factorization.
         wa = Jci[:, None, :, :] * d[..., None]  # (I, T, D, 3)
-        a = jnp.einsum('dm,itdc->itmc', s, wa)  # (I, T, N, 3)
         wc = jct[None, :, :, :] * d[..., None]  # (I, T, D, 3)
-        c = jnp.einsum('dn,itdc->itnc', sp, wc)  # (I, T, N, 3)
+        if mm == 'ozaki':
+            a = _oz_nt(
+                wa.transpose(0, 1, 3, 2).reshape(-1, dim_d), s.T
+            ).reshape(dim_i, dim_t, 3, n_atoms).transpose(0, 1, 3, 2)
+            c = _oz_nt(
+                wc.transpose(0, 1, 3, 2).reshape(-1, dim_d), sp.T
+            ).reshape(dim_i, dim_t, 3, n_atoms).transpose(0, 1, 3, 2)
+        else:
+            a = jnp.einsum('dm,itdc->itmc', s, wa)  # (I, T, N, 3)
+            c = jnp.einsum('dn,itdc->itnc', sp, wc)  # (I, T, N, 3)
 
         # Diagonal-slot blocks: row-reduction over descriptors through m.
         t1 = ad[None, :, None, :] * Jci.transpose(0, 2, 1)[:, None, :, :]
-        t2 = jnp.einsum('imad,tdb->itmab', t1, jct)  # (I, T, N, 3, 3) MXU
+        if mm == 'ozaki':
+            t2 = _oz_nt(
+                t1.reshape(-1, dim_d),  # rows ordered (i, m, a)
+                jct.transpose(0, 2, 1).reshape(-1, dim_d),  # (t, b)
+            ).reshape(dim_i, n_atoms, 3, dim_t, 3).transpose(0, 3, 1, 2, 4)
+        else:
+            t2 = jnp.einsum('imad,tdb->itmab', t1, jct)  # (I, T, N, 3, 3)
 
         # Off-diagonal blocks: one descriptor each — gather then outer.
         jci_g = jnp.take(Jci, gf, axis=1)  # (I, N*N, 3)
@@ -530,12 +565,13 @@ def assemble_kernel(
     jax.jit,
     static_argnames=(
         'n_atoms', 'desc_perms_key', 'n_row_pts', 'n_col_pts', 'tile_i',
-        'tile_j', 'diag',
+        'tile_j', 'diag', 'mm',
     ),
 )
 def _assemble_block_jit(
     X, Jc, sig, row_pt0, col_pt0, m_true,
     *, n_atoms, desc_perms_key, n_row_pts, n_col_pts, tile_i, tile_j, diag,
+    mm='native',
 ):
     """One rectangular block of the NEGATED kernel: ``A = -K`` restricted to
     ``rows = row_pt0 : row_pt0 + n_row_pts`` x ``cols = ...`` (point units,
@@ -582,7 +618,7 @@ def _assemble_block_jit(
 
         blk = hessian_tile_compressed(
             Xi, Jci, Xjp, Jcjp, sig, s_id, s_perm, g_idx, sgn, a_diag,
-            diag_col,
+            diag_col, mm=mm,
         )
         # Negate (A = -K) and zero padded rows/columns.
         row_ok = jnp.repeat(i0 + jnp.arange(tile_i) < m_true, dim_i)
@@ -616,7 +652,7 @@ def _assemble_block_jit(
 
 def assemble_kernel_grid(
     R_desc, R_d_desc, desc_perms, sig, n_atoms, spec, dtype=jnp.float32,
-    tile_i: int | None = None, tile_j: int | None = None,
+    tile_i: int | None = None, tile_j: int | None = None, mm: str = 'native',
 ):
     """Assemble ``A = -K`` into block-grid packed triangle storage
     (ops/blockchol.py). Every block has the same shape, so exactly ONE
@@ -658,6 +694,7 @@ def assemble_kernel_grid(
             tile_i=tile_i,
             tile_j=tile_j,
             diag=(i == j),
+            mm=mm,
         )
         # Throttle dispatch every few blocks: each in-flight block
         # program holds its scan scratch, but a host sync is a tunnel
@@ -681,7 +718,7 @@ def _pair_split_blk(x64):
 
 def assemble_kernel_grid_pair(
     R_desc, R_d_desc, desc_perms, sig, n_atoms, spec,
-    tile_i=None, tile_j=None,
+    tile_i=None, tile_j=None, mm: str = 'native',
 ):
     """Assemble ``A = -K`` straight into pair-float (f32 hi, bf16 lo)
     block-grid storage (ops/pairchol.py) by computing each block in f64
@@ -724,6 +761,7 @@ def assemble_kernel_grid_pair(
             tile_i=tile_i,
             tile_j=tile_j,
             diag=(i == j),
+            mm=mm,
         )
         hi, lo = _pair_split_blk(out)
         # Sync every few blocks (round-trip cost; see assemble_kernel_grid).

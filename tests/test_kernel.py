@@ -114,3 +114,42 @@ def test_tiling_invariance(rng):
     K1 = np.asarray(ker.assemble_kernel(X, Jc, dperms, 1.5, n_atoms, tile_i=5, tile_j=5))
     K2 = np.asarray(ker.assemble_kernel(X, Jc, dperms, 1.5, n_atoms, tile_i=2, tile_j=3))
     np.testing.assert_allclose(K1, K2, rtol=1e-12, atol=1e-14)
+
+
+def test_hessian_tile_ozaki_matches_native():
+    """mm='ozaki' (int8-MXU GEMMs for the D-contractions) must reproduce
+    the native tile to pair-floor accuracy — the pair-assembly prototype."""
+    import jax.numpy as jnp
+
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+    from sgdml_tpu.ops.descriptor import descriptor_batch
+    from sgdml_tpu.ops.kernel import (
+        _gram_maps_cached, hessian_tile_compressed, incidence,
+        perm_incidence, perm_tables,
+    )
+
+    n_atoms, m = 5, 6
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=m + 2, seed=5)
+    R = ds['R'][:m].reshape(m, -1)
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    perms = np.stack([np.arange(n_atoms), [1, 0, 2, 3, 4]])
+    from sgdml_tpu.train import desc_perm_table
+
+    dperms = desc_perm_table(perms)
+    dp = np.ascontiguousarray(dperms.astype(np.int64))
+    key = (dp.tobytes(), dp.shape)
+    s_perm = jnp.asarray(perm_incidence(dperms, n_atoms), dtype=X.dtype)
+    s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
+    g_idx, sgn, a_diag, diag_col = (
+        jnp.asarray(v) for v in _gram_maps_cached(key, n_atoms)
+    )
+    sgn = sgn.astype(X.dtype)
+    a_diag = a_diag.astype(X.dtype)
+    Xp, Jcp = perm_tables(X, Jc, dperms)
+
+    args = (X[:3], Jc[:3], Xp[3:], Jcp[3:], 4.0, s_id, s_perm, g_idx, sgn,
+            a_diag, diag_col)
+    t_native = np.asarray(hessian_tile_compressed(*args))
+    t_ozaki = np.asarray(hessian_tile_compressed(*args, mm='ozaki'))
+    scale = np.abs(t_native).max()
+    assert np.abs(t_ozaki - t_native).max() < 1e-9 * scale

@@ -132,3 +132,40 @@ def test_solve_strips_int8_matches_grid_solve(factored):
     # CG preconditioner only operator-norm closeness matters.
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 1e-5
+
+
+def test_pair_assembly_ozaki_mode_matches_native():
+    """assemble_kernel_grid_pair(mm='ozaki') reproduces the native pair
+    assembly to below the pair-storage floor."""
+    import jax.numpy as jnp
+
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+    from sgdml_tpu.ops import blockchol as bc
+    from sgdml_tpu.ops.descriptor import descriptor_batch
+    from sgdml_tpu.ops.kernel import assemble_kernel_grid_pair
+
+    n_atoms, m = 5, 16
+    ds = generate_md_dataset(n_atoms=n_atoms, n_frames=m + 2, seed=6)
+    R = ds['R'][:m].reshape(m, -1)
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange((n_atoms * (n_atoms - 1)) // 2)[None, :]
+    dim_i = 3 * n_atoms
+    spec = bc.grid_spec(m * dim_i, target_block=8 * dim_i, align=dim_i)
+
+    def dense(mm):
+        Ghi, Glo = assemble_kernel_grid_pair(
+            X, Jc, dperms, 4.0, n_atoms, spec, mm=mm
+        )
+        out = np.zeros((spec.n, spec.n))
+        for i in range(spec.k):
+            for j in range(i + 1):
+                blk = np.asarray(Ghi[i][j], dtype=np.float64) + np.asarray(
+                    Glo[i][j], dtype=np.float64
+                )
+                out[i * spec.b:(i + 1) * spec.b,
+                    j * spec.b:(j + 1) * spec.b] = blk
+        return out
+
+    a_native, a_ozaki = dense('native'), dense('ozaki')
+    scale = np.abs(a_native).max()
+    assert np.abs(a_ozaki - a_native).max() < 1e-9 * scale
