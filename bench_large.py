@@ -141,7 +141,10 @@ def bench_atat3000_mesh():
     (sgdml/solvers/iterative.py:473-825, README.md:129-132).
 
     Overridables (environment): SGDML_BENCH_M (default 3000),
-    SGDML_BENCH_MAXS (CG wall-clock budget, default 14400 s).
+    SGDML_BENCH_MAXS (CG wall-clock budget, default 14400 s),
+    SGDML_BENCH_PERDEV (per-device GB budget, default 12 — set small to
+    demonstrate the capacity contrast at a wall-clock-feasible scale:
+    e.g. M=600 PERDEV=1.5 gives k_cap 2 on one device vs 16 on the mesh).
     """
     import os
 
@@ -154,11 +157,11 @@ def bench_atat3000_mesh():
 
     m_train = int(os.environ.get('SGDML_BENCH_M', 3000))
     max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 14400))
+    per_dev_gb = float(os.environ.get('SGDML_BENCH_PERDEV', 12.0))
     assert jax.devices()[0].platform == 'cpu', 'mesh bench runs on the CPU mesh'
     mesh = default_mesh(8)
 
     ds = generate_md_dataset(n_atoms=60, n_frames=m_train + 600, seed=11)
-    per_dev_gb = 12.0
     k1 = Iterative.max_n_inducing_pts(m_train, 60, per_dev_gb * 1024**3, 1)
     k8 = Iterative.max_n_inducing_pts(m_train, 60, per_dev_gb * 1024**3, 8)
 
