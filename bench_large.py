@@ -94,16 +94,24 @@ def bench_atat():
 
 def bench_atat3000():
     """MD22 AT-AT scale: N=60, M=3000 iterative training end-to-end
-    (reference: sgdml/solvers/iterative.py:473-825; README.md:129-132)."""
+    (reference: sgdml/solvers/iterative.py:473-825; README.md:129-132).
+
+    Overridables (environment): SGDML_BENCH_M (default 3000),
+    SGDML_BENCH_MAXS (CG wall-clock budget, default 1800 s)."""
+    import os
+
     from sgdml_tpu.datasets.synthetic import generate_md_dataset
 
-    ds = generate_md_dataset(n_atoms=60, n_frames=3600, seed=11)
+    m_train = int(os.environ.get('SGDML_BENCH_M', 3000))
+    max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 1800))
+    ds = generate_md_dataset(n_atoms=60, n_frames=m_train + 600, seed=11)
     task, model, t_train = _train(
-        ds, 3000, sig=25.0, solver='cg', max_seconds=1800
+        ds, m_train, sig=25.0, solver='cg', max_seconds=max_seconds
     )
     mae, scale = _force_mae(ds, task, model, n_test=300)
     out = {
-        'config': 'MD22 AT-AT-sized N=60 M=3000 iterative (Nystrom-pCG)',
+        'config': 'MD22 AT-AT-sized N=60 M=%d iterative (Nystrom-pCG)'
+                  % m_train,
         'train_s': round(t_train, 2),
         'cg_iters': int(model.get('solver_iters', -1)),
         'converged': bool(

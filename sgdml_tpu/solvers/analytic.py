@@ -638,6 +638,7 @@ class Analytic:
     def _solve_pair_pcg(
         self, task, R_desc, R_d_desc, desc_perms, y, sig, lam, n_atoms,
         target_block: int = 4096, assembly: str = 'f64', lmax=None,
+        mm: str = 'auto',
     ):
         """Large-system closed-form solve, pair-precision variant: the
         (f32, bf16) block Cholesky with Ozaki int8 updates
@@ -646,6 +647,13 @@ class Analytic:
         grid's (~3e-7 lmax) — and the refinement CG converges in
         ~sqrt(lam'_f32 / lam'_pair) fewer iterations."""
         use_E_cstr = bool(task.get('use_E_cstr', False))
+        if mm == 'auto':
+            # Ozaki int8-MXU assembly contractions measured 3.7x the
+            # emulated-f64 einsums at n=63k (200.4 s -> 54.0 s,
+            # BENCH_NOTES round 3); 7 slices truncate below the
+            # pair-storage floor, so the lam' ladder is unaffected.
+            # int8 dots are slow on the CPU test backend — gate on TPU.
+            mm = 'ozaki' if jax.devices()[0].platform == 'tpu' else 'native'
         dim_i = 3 * n_atoms
         m = R_desc.shape[0]
         m_pad = -(-m // 8) * 8
@@ -687,7 +695,7 @@ class Analytic:
                 # True-pair entries (~33 bits): the lam' floor is the
                 # pair-storage limit, not f32 assembly entry noise.
                 Ghi, Glo = assemble_kernel_grid_pair(
-                    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec
+                    R_desc, R_d_desc, desc_perms, sig, n_atoms, spec, mm=mm
                 )
             else:
                 A32 = assemble_kernel_grid(

@@ -16,6 +16,32 @@ import timeit
 import numpy as np
 
 
+def _slope_time(f, reps_lo=5, reps_hi=25):
+    """Per-call seconds via slope timing with host-fetch sync.
+
+    Through the axon tunnel ``block_until_ready`` does not reliably
+    block (BENCH_NOTES.md round 2); a host transfer does. Timing two
+    different repetition counts and taking the slope cancels the fixed
+    dispatch+fetch latency.
+    """
+    import timeit
+
+    import jax
+
+    def run(reps):
+        t0 = timeit.default_timer()
+        out = None
+        for _ in range(reps):
+            out = f()
+        np.asarray(jax.device_get(out.ravel()[0]))
+        return timeit.default_timer() - t0
+
+    run(2)  # warm queue
+    t_lo = run(reps_lo)
+    t_hi = run(reps_hi)
+    return max((t_hi - t_lo) / (reps_hi - reps_lo), 1e-9)
+
+
 def _setup(n_atoms=21, m=1000, seed=10):
     import jax.numpy as jnp
 
@@ -45,17 +71,11 @@ def bench_matvec():
         )
         v = jnp.asarray(np.random.default_rng(0).normal(size=(m * 3 * n_atoms,)))
         for mm in ('native', 'ozaki'):
-            f = lambda v: _matvec_A(
+            f = lambda: _matvec_A(
                 v, X, Jc, X, Jc, 15.0, 1e-8, n_atoms=n_atoms,
                 desc_perms_key=pk, use_E_cstr=False, mm=mm,
             )
-            out = f(v); out.block_until_ready()  # compile
-            reps = 10
-            t0 = timeit.default_timer()
-            for _ in range(reps):
-                out = f(v)
-            out.block_until_ready()
-            dt = (timeit.default_timer() - t0) / reps
+            dt = _slope_time(f)
             print('matvec N=%d M=%d mm=%-6s  %.4f s/matvec (%.1f iter/s)'
                   % (n_atoms, m, mm, dt, 1.0 / dt))
 
@@ -76,13 +96,7 @@ def bench_factor():
     v = jnp.asarray(rng.normal(size=(n,)))
 
     f64_apply = jax.jit(_factor_apply)
-    out = f64_apply(F, v); out.block_until_ready()
-    reps = 20
-    t0 = timeit.default_timer()
-    for _ in range(reps):
-        out = f64_apply(F, v)
-    out.block_until_ready()
-    t_f64 = (timeit.default_timer() - t0) / reps
+    t_f64 = _slope_time(lambda: f64_apply(F, v))
 
     s_chunks, sigs = [], []
     for c0 in range(0, n, _SOLVE_CHUNK):
@@ -91,13 +105,10 @@ def bench_factor():
     sF = jnp.concatenate(s_chunks, axis=2)
     sigF = jnp.stack(sigs)
     oz_apply = jax.jit(_factor_apply_ozaki)
-    out2 = oz_apply(sF, sigF, v); out2.block_until_ready()
-    t0 = timeit.default_timer()
-    for _ in range(reps):
-        out2 = oz_apply(sF, sigF, v)
-    out2.block_until_ready()
-    t_oz = (timeit.default_timer() - t0) / reps
+    t_oz = _slope_time(lambda: oz_apply(sF, sigF, v))
 
+    out = f64_apply(F, v)
+    out2 = oz_apply(sF, sigF, v)
     err = float(jnp.max(jnp.abs(out2 - out)) / jnp.max(jnp.abs(out)))
     print('factor apply (k=%d, n=%d): f64 %.4f s  ozaki %.4f s  (%.2fx, '
           'rel err %.1e)' % (k, n, t_f64, t_oz, t_f64 / t_oz, err))
