@@ -34,6 +34,13 @@ def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
     task = trainer.create_task(
         ds, m_train, ds, 200, sig=sig, lam=lam, use_sym=use_sym, use_E=True
     )
+    # Warm the backend before the timer: the first device touch pays the
+    # per-process TPU claim through the axon tunnel (measured 30-140 s
+    # depending on tunnel health — BENCH_NOTES round 3), which would
+    # otherwise be misattributed to whatever phase runs first.
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros(8) + 1.0)
     t0 = timeit.default_timer()
     model = trainer.train(task, solver=solver, solver_max_seconds=max_seconds)
     t_train = timeit.default_timer() - t0
