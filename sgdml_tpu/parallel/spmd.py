@@ -379,8 +379,21 @@ def _solve_interleaved_pair_jit(
     return -x, ok, jnp.linalg.norm(r) / b_norm
 
 
+@jax.jit
+def _prep_system_jit(K_int, y_int, mask, lam):
+    """Masked interleaved kernel -> (A, b) of the SPD system to solve."""
+    valid = mask[:, None] & mask[None, :]
+    A = jnp.where(valid, -K_int, 0.0)
+    n = A.shape[0]
+    diag = jnp.where(mask, jnp.asarray(lam, A.dtype), jnp.asarray(1.0, A.dtype))
+    A = A.at[jnp.arange(n), jnp.arange(n)].add(diag)
+    b = jnp.where(mask, y_int, 0.0)
+    return A, b
+
+
 def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout,
-                      nb: int | None = None, precision: str = 'f64'):
+                      nb: int | None = None, precision: str = 'f64',
+                      layout: str = 'masked'):
     """Solve the sharded interleaved system; returns standard-order alphas
     (host numpy), same sign convention as ``Analytic.solve``.
 
@@ -388,6 +401,13 @@ def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout,
     exact int8-slice GEMM updates and refines with CG on the f64 system
     (a lam' ladder keeps the factorization SPD) — the intended mode on
     real TPU meshes. ``'f64'`` is the exact emulated-f64 factorization.
+
+    ``layout='cyclic'`` routes the f64 factorization through the
+    block-cyclic shrinking-update program (``ops/cyclic.py``): minimal
+    Cholesky flops (1/3 of the masked full-width design) spread evenly
+    over the mesh — preferable once the factorization, not the
+    assembly, dominates. ``'masked'`` is the single-program
+    ``fori_loop`` design (one compile, coarser flops).
     """
     if nb is None:
         nb = _largest_divisor(lay.n_rows, 1024)
@@ -425,6 +445,19 @@ def solve_interleaved(K_int, y_std, lam, lay: ShardedLayout,
             'Pair solve failed at every rung (factorization or CG); '
             'falling back to f64.'
         )
+    if layout == 'cyclic':
+        from ..ops import cyclic
+
+        sharding = getattr(K_int, 'sharding', None)
+        mesh = getattr(sharding, 'mesh', None)
+        if mesh is None or getattr(mesh, 'empty', False):
+            raise ValueError(
+                "layout='cyclic' needs a mesh-sharded kernel matrix "
+                '(assemble_kernel_sharded output)'
+            )
+        A, b = _prep_system_jit(K_int, y_int, mask, lam)
+        x_int = -cyclic.cho_solve_cyclic(A, b, int(nb), mesh)
+        return lay.gather_vec(np.asarray(x_int))
     x_int = _solve_interleaved_jit(
         K_int,
         y_int,
