@@ -937,3 +937,83 @@ def assemble_kernel_columns(
         tile_i=int(min(tile_i, R_desc.shape[0])),
         use_E_cstr=use_E_cstr,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'n_atoms', 'desc_perms_key', 'tile_i', 'row_cnt', 'm_real'
+    ),
+)
+def _assemble_columns_range_jit(
+    X, Jc, col_3n_idxs, sig, row_p0, *, n_atoms, desc_perms_key, tile_i,
+    row_cnt, m_real,
+):
+    """Force rows of ``K[:, cols]`` for the point block
+    ``[row_p0, row_p0 + row_cnt)`` only (the streaming Nystrom build's
+    chunk primitive — the full (n, k) column block never exists).
+
+    ``row_p0`` is TRACED so every chunk of a streaming sweep shares one
+    compiled program (a static start would recompile per chunk — minutes
+    each through the remote-compile tunnel). The caller pads ``X``/``Jc``
+    so ``row_p0 + row_cnt <= X.shape[0]``; rows of padded points
+    (``>= m_real``) are zeroed in-program (their descriptor garbage must
+    not reach the Gram).
+    """
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    dim_i = 3 * n_atoms
+    n_cols = col_3n_idxs.shape[0]
+    s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
+    s_id = jnp.asarray(incidence(n_atoms), dtype=X.dtype)
+
+    Xjp, Jt_col = column_tables(X, Jc, desc_perms, col_3n_idxs, n_atoms, s_perm)
+
+    n_ti = row_cnt // tile_i
+    K0 = jnp.zeros((row_cnt * dim_i, n_cols), dtype=X.dtype)
+
+    def body(ti, K):
+        i0 = row_p0 + ti * tile_i
+        Xi = jax.lax.dynamic_slice_in_dim(X, i0, tile_i, 0)
+        Jci = jax.lax.dynamic_slice_in_dim(Jc, i0, tile_i, 0)
+        blk, _, _ = column_force_tile(Xi, Jci, Xjp, Jt_col, s_id, sig)
+        mask = (i0 + jnp.arange(tile_i)) < m_real
+        blk = blk * jnp.repeat(mask, dim_i)[:, None].astype(blk.dtype)
+        return jax.lax.dynamic_update_slice(K, blk, (ti * tile_i * dim_i, 0))
+
+    return jax.lax.fori_loop(0, n_ti, body, K0)
+
+
+def assemble_kernel_columns_range(
+    X_pad, Jc_pad, desc_perms, sig, n_atoms, col_3n_idxs, row_p0: int,
+    row_cnt: int, m_real: int, tile_i: int = 64,
+):
+    """Force rows ``K[row_p0*3N : (row_p0+row_cnt)*3N, cols]`` of the
+    kernel (see :func:`_assemble_columns_range_jit`). ``X_pad``/``Jc_pad``
+    are device arrays padded to at least the sweep's last chunk end;
+    ``row_cnt`` must be uniform across a sweep so all chunks share one
+    compile. Returns ``(row_cnt * 3N, len(cols))``."""
+    n_atoms_i = int(n_atoms)
+    n_cols = int(np.asarray(col_3n_idxs).shape[0])
+    itemsize = np.dtype(np.asarray(X_pad).dtype).itemsize
+    # Same fusion-staging cap as assemble_kernel_columns: XLA fuses the
+    # Ji einsum into the contraction, staging (tile_i, N, C, P, 3N)
+    # temporaries.
+    per_row = 3 * n_atoms_i * n_cols * 3 * n_atoms_i * itemsize
+    tile_cap = max(1, int(1.5e9 // max(per_row, 1)))
+    tile_i = min(tile_i, row_cnt, tile_cap)
+    while row_cnt % tile_i != 0 and tile_i > 1:
+        tile_i -= 1
+    return _assemble_columns_range_jit(
+        X_pad,
+        Jc_pad,
+        jnp.asarray(np.asarray(col_3n_idxs, dtype=np.int64)),
+        sig,
+        jnp.asarray(int(row_p0), dtype=jnp.int32),
+        n_atoms=n_atoms,
+        desc_perms_key=_perms_key(desc_perms),
+        tile_i=int(tile_i),
+        row_cnt=int(row_cnt),
+        m_real=int(m_real),
+    )

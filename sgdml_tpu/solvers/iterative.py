@@ -43,7 +43,10 @@ import numpy as np
 
 from ..ops import descriptor as desc_ops
 from ..ops import ozaki
-from ..ops.kernel import assemble_kernel_columns
+from ..ops.kernel import (
+    assemble_kernel_columns,
+    assemble_kernel_columns_range,
+)
 from ..predict import predict_from_tables
 
 log = logging.getLogger(__name__)
@@ -403,6 +406,57 @@ def _largest_divisor(n: int, cap: int) -> int:
     return 1
 
 
+# -- streaming (two-pass) factor build --------------------------------------
+
+
+@jax.jit
+def _w_rows(C, idx):
+    """Fixed-width row gather for the inducing-block extraction (one
+    compile per sweep; padded indices are discarded on host)."""
+    return jnp.take(C, idx, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 2), static_argnames=('nb',))
+def _gram_accum_y(gram, Lw, C, *, nb):
+    """``gram + Y Y^T`` for one assembly chunk, ``Y = L_W^{-1} C^T``.
+
+    The triangular solve WHITENS the chunk before the Ozaki int8 Gram —
+    truncating the raw columns instead would amplify the 48-bit error by
+    cond(W) through the later ``L_W^{-1} (.) L_W^{-T}`` projection
+    (measured: 3e-3 relative factor error at a mere m=40 test system vs
+    <1e-7 this way). Identical error structure to the one-pass build's
+    ``_solve_chunk_oz``. Chunk and accumulator are donated."""
+    from ..ops.linalg import blocked_tri_solve
+
+    Y = blocked_tri_solve(Lw, C.T, nb=nb)
+    hi = Y.astype(jnp.float32)
+    lo = (Y - hi.astype(jnp.float64)).astype(jnp.float32)
+    return gram + ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=8)
+
+
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=('nb',))
+def _f_chunk_streamed(Lw, L, C, *, nb):
+    """One streamed factor chunk: ``F_c = L^{-1} L_W^{-1} C_c^T`` via two
+    triangular solves (the one-pass build's exact arithmetic), its
+    leverage-score contribution, and the chunk's int8 slice stack. The
+    f64 chunk is donated in and dies here — neither the f64 column block
+    nor the f64 factor ever exists on device."""
+    from ..ops.linalg import blocked_tri_solve
+
+    F = blocked_tri_solve(L, blocked_tri_solve(Lw, C.T, nb=nb), nb=nb)
+    lev = jnp.sum(F * F, axis=0)
+    s, sg = ozaki.split_global_int8(F, n_slices=8)
+    return lev, s, sg
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_slices(sF, s_c, c0):
+    """In-place write of one chunk's slice stack into the preallocated
+    factor (donated: concatenating chunks at the end would transiently
+    double the stack — the build's would-be high-water mark)."""
+    return jax.lax.dynamic_update_slice(sF, s_c, (0, 0, c0))
+
+
 # ---------------------------------------------------------------------------
 # Solver
 # ---------------------------------------------------------------------------
@@ -476,6 +530,11 @@ class Iterative:
                 'strong regularization. Try a larger sigma.'
             )
 
+        if self._use_ozaki_factor() and not use_E_cstr:
+            return self._build_factor_streamed(
+                X, Jc, dperms, sig, lam, col_idxs, n_atoms
+            )
+
         for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
             # The PSD column matrix is created inside the call expression so
             # no caller binding keeps it alive (it is the memory high-water
@@ -500,6 +559,131 @@ class Iterative:
             'Failed to factorize the Nystrom preconditioner despite strong '
             'regularization. Try a larger sigma.'
         )
+
+    def _build_factor_streamed(self, X, Jc, dperms, sig, lam, col_idxs,
+                               n_atoms):
+        """Streaming build of the int8 slice-stack Woodbury factor — the
+        (n, k) f64 column block NEVER exists on device.
+
+        Three assembly sweeps over row chunks, all sharing one compiled
+        assembly program (traced chunk offset):
+
+        1. **W sweep**: extract the inducing-block rows ``W = C[cols]``
+           (chunks without inducing rows are skipped). ``chol(W)`` and
+           the ladder's k x k stages run on HOST (O(k^3) is host-trivial
+           next to the device O(n k^2)).
+        2. **Gram sweep**: per chunk, ``Y = L_W^{-1} C^T`` (device
+           triangular solve) then the Ozaki int8 Y-Gram — whitening
+           BEFORE int8 truncation, so the 48-bit error stays relative to
+           the factor's own scale instead of being amplified by cond(W)
+           (measured 3e-3 factor error from a truncate-then-project
+           variant at a mere m=40 system).
+        3. **F sweep**: ``F_c = L^{-1} L_W^{-1} C_c^T`` per chunk, sliced
+           straight into the preallocated int8 stack (in-place donated
+           writes — concatenating at the end would transiently double
+           the stack).
+
+        Sweeps 2-3 are the one-pass build's exact per-chunk arithmetic
+        (``_solve_chunk_oz`` / ``_solve_chunk_final_oz``); only the chunk
+        PROVENANCE changes (re-assembled on the fly vs held in HBM), so
+        the validated CG error structure is preserved. Device high-water
+        mark: the 9 B/elem slice stack + one assembly chunk + transient
+        Y/F — vs the one-pass build's f64 column block + Y chunks
+        (~16 B/elem), which is what capped MD22 M=3000 at k=5 points on
+        a 16 GB chip (``max_n_inducing_pts(streamed=True)`` holds the
+        budget formula). The price is two extra assembly sweeps; at MD22
+        scale assembly is minutes where CG is hours. Reference
+        counterpart: the in-place two-stage Cholesky pipeline of
+        sgdml/solvers/iterative.py:208-351, which assumes a 100+ GB
+        host buffer.
+        """
+        m = X.shape[0]
+        dim_i = 3 * n_atoms
+        n = m * dim_i
+        cols = np.asarray(col_idxs, dtype=np.int64)
+        kcols = len(cols)
+        nb = 128 if kcols % 128 == 0 else _largest_divisor(kcols, 128)
+
+        pt_ch = max(1, _SOLVE_CHUNK // dim_i)
+        n_ch = -(-m // pt_ch)
+        m_pad = n_ch * pt_ch
+        rows_ch = pt_ch * dim_i
+        Xp = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+        Jcp = jnp.pad(Jc, ((0, m_pad - m), (0, 0), (0, 0)))
+
+        def chunk(c):
+            return -assemble_kernel_columns_range(
+                Xp, Jcp, dperms, sig, n_atoms, cols, c * pt_ch, pt_ch, m
+            )
+
+        # Sweep 1: inducing rows -> W (host). Per-chunk occupancy indices
+        # are padded to one width so the gather compiles once.
+        sels = [
+            np.where((cols >= c * rows_ch) & (cols < (c + 1) * rows_ch))[0]
+            for c in range(n_ch)
+        ]
+        w_max = max((s.size for s in sels), default=0)
+        W = np.empty((kcols, kcols), dtype=np.float64)
+        for c in range(n_ch):
+            sel = sels[c]
+            if not sel.size:
+                continue
+            idx = np.zeros(w_max, dtype=np.int32)
+            idx[: sel.size] = cols[sel] - c * rows_ch
+            W[sel] = np.asarray(_w_rows(chunk(c), jnp.asarray(idx)))[
+                : sel.size
+            ]
+
+        # Ladder (reference semantics: escalate shared regularization
+        # until both Cholesky stages succeed). A gram-stage failure
+        # re-runs the gram sweep with the stronger L_W — rare (the gram
+        # is PSD by construction) and logged.
+        for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
+            try:
+                Lw_h = np.linalg.cholesky(W + reg * np.eye(kcols))
+            except np.linalg.LinAlgError:
+                continue
+            if not np.all(np.isfinite(Lw_h)):
+                continue
+            Lw = jnp.asarray(Lw_h)
+            gram = jnp.zeros((kcols, kcols), dtype=jnp.float64)
+            for c in range(n_ch):
+                gram = _gram_accum_y(gram, Lw, chunk(c), nb=nb)
+            gram_h = np.asarray(gram)
+            del gram
+            try:
+                L_h = np.linalg.cholesky(
+                    0.5 * (gram_h + gram_h.T)
+                    + (lam + reg) * np.eye(kcols)
+                )
+            except np.linalg.LinAlgError:
+                log.debug(
+                    'Nystrom gram stage failed at reg=%g; re-sweeping '
+                    'with stronger regularization.', reg,
+                )
+                continue
+            if np.all(np.isfinite(L_h)):
+                if reg > 0:
+                    log.debug('Nystrom factor needed regularization %g.', reg)
+                break
+        else:
+            raise RuntimeError(
+                'Failed to factorize the Nystrom preconditioner despite '
+                'strong regularization. Try a larger sigma.'
+            )
+        L = jnp.asarray(L_h)
+
+        # Sweep 3: F chunks straight into the preallocated slice stack.
+        sF = jnp.zeros((8, kcols, n_ch * rows_ch), dtype=jnp.int8)
+        sigs, levs = [], []
+        for c in range(n_ch):
+            lev_c, s_c, sig_c = _f_chunk_streamed(Lw, L, chunk(c), nb=nb)
+            sF = _write_slices(sF, s_c, jnp.asarray(c * rows_ch))
+            sigs.append(sig_c)
+            levs.append(np.asarray(lev_c))
+        sigF = jnp.asarray(np.asarray(sigs, dtype=np.float32))
+        lev_scores = np.concatenate(levs)[:n].astype(np.float64)
+        return (sF, sigF), lev_scores
 
     def _lev_scores(
         self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
@@ -606,9 +790,10 @@ class Iterative:
             )
 
         factor_bytes = 9.0 if self._use_ozaki_factor() else 16.0
+        streamed = self._use_ozaki_factor() and not use_E_cstr
         max_n_ind = Iterative.max_n_inducing_pts(
             n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev,
-            factor_bytes=factor_bytes,
+            factor_bytes=factor_bytes, streamed=streamed,
         )
         # Fresh solves start AT the cap (the strongest preconditioner
         # the budget affords — the converged MD22-class runs never
@@ -822,6 +1007,7 @@ class Iterative:
                 Iterative.max_n_inducing_pts(
                     n_train, n_atoms, self._max_memory * 1024**3,
                     n_dev=n_dev, factor_bytes=factor_bytes,
+                    streamed=streamed,
                 ),
             )
             if eff <= EFF_RESTART_THRESH:
@@ -920,7 +1106,7 @@ class Iterative:
 
     @staticmethod
     def max_n_inducing_pts(n_train, n_atoms, max_memory_bytes, n_dev=1,
-                           factor_bytes=16.0):
+                           factor_bytes=16.0, streamed=False):
         """Inducing-point budget (reference formula: iterative.py:827-844),
         additionally capped so the preconditioner factor's TPU f64-split
         working set stays within ~40% of the budget. Round 1 measured
@@ -937,6 +1123,22 @@ class Iterative:
         100+ GB host)."""
         sq, lin = 5, 4
         dim_i = 3 * n_atoms
+
+        if streamed:
+            # Two-pass streaming build (_build_factor_streamed): the
+            # device high-water mark is the 9 B/elem int8 slice stack
+            # plus one assembly chunk and the k x k stages — the f64
+            # column block and f64 factor never exist. Budget the stack
+            # at 72% of memory minus a fixed reserve for chunk
+            # transients, descriptor tables, CG vectors and XLA
+            # workspace (validated by an on-chip probe at MD22 M=3000
+            # scale, BENCH_NOTES round 3).
+            n = n_train * dim_i
+            reserve = 1.5e9
+            avail = max(0.0, 0.72 * max_memory_bytes - reserve)
+            cap = avail * max(1, int(n_dev)) / (9.0 * n * dim_i)
+            return max(1, min(int(cap), n_train))
+
         to_dof = dim_i**2 * 8
         # Factor storage is column-sharded over the mesh; the (k, k)
         # Cholesky stages stay replicated per device.

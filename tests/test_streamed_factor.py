@@ -1,0 +1,128 @@
+"""Streaming two-pass Nystrom factor build (solvers/iterative.py
+``_build_factor_streamed``): range-assembly parity, factor parity with
+the one-pass slice build, the streamed memory formula, and the
+use_E_cstr fallback. Reference counterpart: the in-place factor pipeline
+of sgdml/solvers/iterative.py:208-351 (which assumes a 100+ GB host)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgdml_tpu.datasets.synthetic import generate_md_dataset
+from sgdml_tpu.ops.descriptor import descriptor_batch
+from sgdml_tpu.ops.kernel import (
+    assemble_kernel_columns,
+    assemble_kernel_columns_range,
+)
+from sgdml_tpu.solvers.iterative import (
+    Iterative,
+    _factor_apply_ozaki,
+    _nystrom_factor_from_cols,
+)
+from sgdml_tpu.train import GDMLTrain
+
+SIG = 8.0
+LAM = 1e-10
+
+
+@pytest.fixture(scope='module')
+def setup():
+    ds = generate_md_dataset(n_atoms=6, n_frames=120, seed=7)
+    n_atoms, m = 6, 40
+    R = ds['R'][:m].reshape(m, -1)
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange((n_atoms * (n_atoms - 1)) // 2)[None, :]
+    np.random.seed(3)
+    cols = np.sort(
+        np.random.choice(m * 3 * n_atoms, 2 * 3 * n_atoms, replace=False)
+    )
+    return X, Jc, dperms, n_atoms, m, cols
+
+
+def test_range_assembly_matches_full(setup):
+    """A chunked sweep of assemble_kernel_columns_range (with a padded
+    tail chunk) reproduces assemble_kernel_columns exactly."""
+    X, Jc, dperms, n_atoms, m, cols = setup
+    dim_i = 3 * n_atoms
+    full = np.asarray(
+        assemble_kernel_columns(X, Jc, dperms, SIG, n_atoms, cols)
+    )
+    pt_ch = 7  # does not divide m=40: exercises the masked padded tail
+    n_ch = -(-m // pt_ch)
+    m_pad = n_ch * pt_ch
+    Xp = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+    Jcp = jnp.pad(Jc, ((0, m_pad - m), (0, 0), (0, 0)))
+    chunks = [
+        np.asarray(
+            assemble_kernel_columns_range(
+                Xp, Jcp, dperms, SIG, n_atoms, cols, c * pt_ch, pt_ch, m
+            )
+        )
+        for c in range(n_ch)
+    ]
+    got = np.concatenate(chunks)
+    # Padded-point rows must be exactly zero (they feed the Gram).
+    assert np.all(got[m * dim_i:] == 0.0)
+    np.testing.assert_allclose(got[: m * dim_i], full, rtol=0, atol=1e-12)
+
+
+def test_streamed_factor_matches_one_pass(setup):
+    """The streamed factor's Woodbury apply and leverage scores agree
+    with the one-pass (assemble-everything) slice build."""
+    X, Jc, dperms, n_atoms, m, cols = setup
+    n = m * 3 * n_atoms
+
+    solver = Iterative(GDMLTrain(), factor_mode='ozaki')
+    Fs, lev_s = solver._build_factor_streamed(
+        X, Jc, dperms, SIG, LAM, cols, n_atoms
+    )
+    F1, lev_1, ok = _nystrom_factor_from_cols(
+        -assemble_kernel_columns(X, Jc, dperms, SIG, n_atoms, cols),
+        cols, LAM, 0.0, 0.0, to_slices=True,
+    )
+    assert ok
+
+    # Leverage scores: plain sums of F^2 (no cancellation) — tight.
+    np.testing.assert_allclose(
+        lev_s, np.asarray(lev_1)[:n], rtol=1e-6, atol=1e-12
+    )
+
+    # Woodbury apply parity on a random vector (the two stacks may be
+    # zero-padded to different widths; compare the real rows).
+    v = np.random.default_rng(0).standard_normal(n)
+
+    def apply(F):
+        sF, sigF = F
+        vp = jnp.pad(jnp.asarray(v), (0, sF.shape[2] - n))
+        return np.asarray(_factor_apply_ozaki(sF, sigF, vp))[:n]
+
+    za, zb = apply(Fs), apply(F1)
+    assert np.linalg.norm(za - zb) / np.linalg.norm(v) < 1e-7
+
+
+def test_streamed_budget_exceeds_one_pass():
+    """The streamed build's k-cap at MD22 M=3000 scale must exceed the
+    one-pass slice build's (the round-2/3 single-chip bottleneck: the
+    f64 column block + Y chunks no longer coexist with the stack)."""
+    mem = 15.5 * 1024**3
+    cap_1 = Iterative.max_n_inducing_pts(3000, 60, mem, factor_bytes=9.0)
+    cap_s = Iterative.max_n_inducing_pts(
+        3000, 60, mem, factor_bytes=9.0, streamed=True
+    )
+    assert cap_s >= 2 * cap_1
+    assert cap_s >= 10
+
+
+def test_e_cstr_falls_back_to_one_pass(setup):
+    """use_E_cstr routes around the streamed build (its range assembly is
+    force-rows-only) and still produces a working slice factor with the
+    M extra energy-constraint rows."""
+    X, Jc, dperms, n_atoms, m, cols = setup
+    n = m * 3 * n_atoms
+    solver = Iterative(GDMLTrain(), factor_mode='ozaki')
+    F, lev = solver._build_factor(
+        X, Jc, dperms, SIG, LAM, cols, n_atoms, use_E_cstr=True
+    )
+    sF, sigF = F
+    assert sF.shape[2] >= n + m  # energy rows present (pre-padding)
+    assert lev.shape[0] == n + m
