@@ -294,34 +294,56 @@ def matvec_sliced_long_t(sa, sigma, w, *, q: int = Q_BITS,
     S, m, n = sa.shape
     if m > max_contraction_dim(8, q):
         raise ValueError('row dim overflows exact int32 accumulation')
+    if n % chunk != 0:
+        raise ValueError('slice stack columns must be a chunk multiple')
     sv, sigv = split_global_int8(w[:, None], n_slices=8, q=q)  # (8, m, 1)
     n_v = sv.shape[0]
     keep = max(S, n_v)
-    levels = [None] * keep
-    for i in range(S):
-        for j in range(n_v):
-            lv = i + j
-            if lv >= keep:
-                continue
-            # Transpose the SMALL w-slice, not the resident stack (a dot
-            # contracting the stack's row axis would make XLA hoist a
-            # persistent transposed copy of the whole stack).
-            p = jax.lax.dot_general(
-                sv[j].T, sa[i],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (1, n)
-            levels[lv] = p if levels[lv] is None else levels[lv] + p
-    acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
-    for lv in reversed(range(keep)):
-        if levels[lv] is not None:
-            acc = acc + levels[lv].astype(jnp.float64) * (
-                2.0 ** (-q * (lv + 2))
-            )
-    out = acc[0] * sigv.astype(jnp.float64)
-    if getattr(sigma, 'ndim', 0) > 0:
-        out = out * jnp.repeat(sigma.astype(jnp.float64), n // sigma.shape[0])
-    else:
+    n_ch = n // chunk
+    per_chunk = getattr(sigma, 'ndim', 0) > 0
+    # Transpose the SMALL w-slices once, outside the loop (a dot
+    # contracting the stack's row axis is the standard rhs orientation;
+    # transposing the stack instead would hoist a persistent copy).
+    svT = [sv[j].T for j in range(n_v)]  # each (1, m)
+
+    def body(c, out):
+        # Walk the stack in column chunks exactly like the forward
+        # matvec: feeding whole ``sa[i]`` (m, n) planes into one dot made
+        # XLA relayout-copy the ENTIRE stack as an HLO temp (measured
+        # 8 GB at MD22 M=3000 — the compile-time OOM this fixes);
+        # dynamic-sliced chunks keep the transient at (S, m, chunk).
+        c0 = c * chunk
+        levels = [None] * keep
+        for i in range(S):
+            sa_c = jax.lax.dynamic_slice(sa, (i, 0, c0), (1, m, chunk))[0]
+            for j in range(n_v):
+                lv = i + j
+                if lv >= keep:
+                    continue
+                p = jax.lax.dot_general(
+                    svT[j], sa_c,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (1, chunk)
+                levels[lv] = p if levels[lv] is None else levels[lv] + p
+        acc = jnp.zeros(levels[0].shape, dtype=jnp.float64)
+        for lv in reversed(range(keep)):
+            if levels[lv] is not None:
+                acc = acc + levels[lv].astype(jnp.float64) * (
+                    2.0 ** (-q * (lv + 2))
+                )
+        oc = acc[0]
+        if per_chunk:
+            oc = oc * jax.lax.dynamic_index_in_dim(
+                sigma, c, keepdims=False
+            ).astype(jnp.float64)
+        return jax.lax.dynamic_update_slice(out, oc, (c0,))
+
+    out = jax.lax.fori_loop(
+        0, n_ch, body, jnp.zeros((n,), dtype=jnp.float64)
+    )
+    out = out * sigv.astype(jnp.float64)
+    if not per_chunk:
         out = out * sigma.astype(jnp.float64)
     return out
 

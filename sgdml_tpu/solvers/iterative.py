@@ -173,7 +173,40 @@ def _factor_apply_ozaki(sF, sigF, v):
     return v - ozaki.matvec_sliced_long_t(sF, sigF, w, chunk=chunk)
 
 
-_init_z_ozaki = jax.jit(_factor_apply_ozaki)
+@functools.lru_cache(maxsize=None)
+def _stack_fmt():
+    """Row-major layout pin for the int8 slice stack (TPU only; None
+    elsewhere — the CPU test backend has no layout choices to pin).
+
+    Left to auto layout assignment, XLA picks major_to_minor=(1, 0, 2)
+    for the stack PARAMETER of the apply programs while every in-program
+    use (the dynamic-slice column walks) wants row-major — so it
+    materializes a full relayout copy of the stack as an HLO temp
+    (measured: an 8 GB copy at MD22 M=3000, the difference between
+    fitting and a compile-time OOM at 16.1/15.75 GB). Pinning row-major
+    on the producers (zeros + in-place chunk writes) and consumers
+    (`_init_z_ozaki`, `_pcg_chunk`) keeps ONE copy-free layout end to
+    end: the pinned apply compiles with ~1.5 MB of HLO temp."""
+    if jax.devices()[0].platform != 'tpu':
+        return None
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    return Format(
+        Layout(major_to_minor=(0, 1, 2)),
+        SingleDeviceSharding(jax.devices()[0]),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _init_z_ozaki_fn():
+    fmt = _stack_fmt()
+    kw = {} if fmt is None else {'in_shardings': (fmt, None, None)}
+    return jax.jit(_factor_apply_ozaki, **kw)
+
+
+def _init_z_ozaki(sF, sigF, v):
+    return _init_z_ozaki_fn()(sF, sigF, v)
 
 
 def _factor_ncols(Fp):
@@ -182,13 +215,52 @@ def _factor_ncols(Fp):
     return Fp[0].shape[2] if isinstance(Fp, tuple) else Fp.shape[1]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        'n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters',
-        'apply_mode', 'mm',
-    ),
+_PCG_STATIC = (
+    'n_atoms', 'desc_perms_key', 'use_E_cstr', 'chunk_iters',
+    'apply_mode', 'mm',
 )
+
+
+@functools.lru_cache(maxsize=None)
+def _pcg_chunk_jit(pin_stack: bool):
+    """Jitted `_pcg_chunk` accepting the statics as keywords, with the
+    int8 slice stack's row-major layout pinned in ozaki mode (see
+    `_stack_fmt`) — without the pin, auto layout assignment
+    relayout-copies the full stack inside the heaviest program of the
+    solve. pjit rejects kwargs when in_shardings is given, so the pinned
+    variant routes the statics through positional static_argnums."""
+    fmt = _stack_fmt() if pin_stack else None
+    if fmt is None:
+        return jax.jit(_pcg_chunk, static_argnames=_PCG_STATIC)
+
+    def positional(state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
+                   n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
+                   apply_mode, mm):
+        return _pcg_chunk(
+            state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
+            n_atoms=n_atoms, desc_perms_key=desc_perms_key,
+            use_E_cstr=use_E_cstr, chunk_iters=chunk_iters,
+            apply_mode=apply_mode, mm=mm,
+        )
+
+    jf = jax.jit(
+        positional,
+        static_argnums=tuple(range(10, 16)),
+        in_shardings=(None, (fmt, None)) + (None,) * 8,
+    )
+
+    def call(state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol, *,
+             n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
+             apply_mode, mm):
+        return jf(
+            state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
+            n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
+            apply_mode, mm,
+        )
+
+    return call
+
+
 def _pcg_chunk(
     state, Fp, Xq, Jcq, X, Jc, sig, lam, b_norm, rtol,
     *, n_atoms, desc_perms_key, use_E_cstr, chunk_iters,
@@ -449,12 +521,36 @@ def _f_chunk_streamed(Lw, L, C, *, nb):
     return lev, s, sg
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _write_slices(sF, s_c, c0):
+def _write_slices_impl(sF, s_c, c0):
     """In-place write of one chunk's slice stack into the preallocated
     factor (donated: concatenating chunks at the end would transiently
     double the stack — the build's would-be high-water mark)."""
     return jax.lax.dynamic_update_slice(sF, s_c, (0, 0, c0))
+
+
+@functools.lru_cache(maxsize=None)
+def _write_slices_fn():
+    """Donating chunk write with the stack's row-major layout pinned on
+    both sides (same-layout donation aliases in place; see _stack_fmt)."""
+    fmt = _stack_fmt()
+    kw = {} if fmt is None else {
+        'in_shardings': (fmt, None, None), 'out_shardings': fmt,
+    }
+    return jax.jit(_write_slices_impl, donate_argnums=(0,), **kw)
+
+
+def _write_slices(sF, s_c, c0):
+    return _write_slices_fn()(sF, s_c, c0)
+
+
+@functools.lru_cache(maxsize=None)
+def _zeros_stack_fn(shape):
+    """Stack allocator whose OUTPUT layout is pinned row-major — creating
+    default-layout zeros and relayouting after the fact would transiently
+    double the stack."""
+    fmt = _stack_fmt()
+    kw = {} if fmt is None else {'out_shardings': fmt}
+    return jax.jit(lambda: jnp.zeros(shape, dtype=jnp.int8), **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -674,7 +770,7 @@ class Iterative:
         L = jnp.asarray(L_h)
 
         # Sweep 3: F chunks straight into the preallocated slice stack.
-        sF = jnp.zeros((8, kcols, n_ch * rows_ch), dtype=jnp.int8)
+        sF = _zeros_stack_fn((8, kcols, n_ch * rows_ch))()
         sigs, levs = [], []
         for c in range(n_ch):
             lev_c, s_c, sig_c = _f_chunk_streamed(Lw, L, chunk(c), nb=nb)
@@ -860,7 +956,7 @@ class Iterative:
         mv_mm = 'ozaki' if self._use_ozaki_factor() else 'native'
 
         def pcg_chunk(state, Fp_cur):
-            return _pcg_chunk(
+            return _pcg_chunk_jit(apply_mode == 'ozaki')(
                 state, Fp_cur, Xq, Jcq, X, Jc, sig, lam, b_norm, tol,
                 n_atoms=n_atoms,
                 desc_perms_key=perms_key,

@@ -66,7 +66,7 @@ def main(m=1000, n_atoms=21, sig=15.0, lam=1e-8):
     print('Fp shape', Fp.shape, flush=True)
 
     # One CG chunk compile+run.
-    from sgdml_tpu.solvers.iterative import _pcg_chunk, CG_CHUNK_ITERS
+    from sgdml_tpu.solvers.iterative import _pcg_chunk_jit, CG_CHUNK_ITERS
 
     def A_apply(v):
         return _matvec_A(
@@ -78,8 +78,8 @@ def main(m=1000, n_atoms=21, sig=15.0, lam=1e-8):
     b_norm = float(np.linalg.norm(y))
 
     def pcg(state, Fp_cur):
-        return _pcg_chunk(
-            state, Fp_cur, X, Jc, sig, lam, b_norm, 1e-4,
+        return _pcg_chunk_jit(False)(
+            state, Fp_cur, X, Jc, X, Jc, sig, lam, b_norm, 1e-4,
             n_atoms=n_atoms, desc_perms_key=perms_key, use_E_cstr=False,
             chunk_iters=CG_CHUNK_ITERS,
         )
