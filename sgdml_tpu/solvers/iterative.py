@@ -361,37 +361,42 @@ def _solve_chunk_nogram(L, B_chunk, *, nb):
     return blocked_tri_solve(L, B_chunk, nb=nb)
 
 
-@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
-def _solve_chunk_oz(L, B_chunk, *, nb):
+@functools.partial(
+    jax.jit, donate_argnums=(1,), static_argnames=('nb', 'ns')
+)
+def _solve_chunk_oz(L, B_chunk, *, nb, ns=8):
     """One (k, chunk) triangular solve + its Gram contribution, with the
-    Gram as an Ozaki int8-MXU GEMM (8 slices ~ 48-bit operands, exact
-    level sums) instead of an emulated-f64 ``Y Y^T`` — the factor-build
-    GEMM at int8 rather than 2 TFLOP/s emulated-f64 rates."""
+    Gram as an Ozaki int8-MXU GEMM (``ns`` slices, default 8 ~ 48-bit
+    operands, exact level sums) instead of an emulated-f64 ``Y Y^T`` —
+    the factor-build GEMM at int8 rather than 2 TFLOP/s emulated-f64
+    rates."""
     from ..ops.linalg import blocked_tri_solve
 
     Y = blocked_tri_solve(L, B_chunk, nb=nb)
     hi = Y.astype(jnp.float32)
     lo = (Y - hi.astype(jnp.float64)).astype(jnp.float32)
-    G = ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=8)
+    G = ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=max(ns, 8))
     return Y, G
 
 
-@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=('nb',))
-def _solve_chunk_final_oz(L, Y_chunk, *, nb):
+@functools.partial(
+    jax.jit, donate_argnums=(1,), static_argnames=('nb', 'ns')
+)
+def _solve_chunk_final_oz(L, Y_chunk, *, nb, ns=8):
     """Pass-2 chunk in slice-output mode: F chunk = L^{-1} Y (donating Y),
     its leverage-score contribution, and the chunk's int8 slice stack —
     the f64 F chunk dies inside this program, so the full f64 factor
-    never exists (the build's high-water mark stays ~8 B/elem)."""
+    never exists (the build's high-water mark stays ~``ns`` B/elem)."""
     from ..ops.linalg import blocked_tri_solve
 
     Fc = blocked_tri_solve(L, Y_chunk, nb=nb)
     lev = jnp.sum(Fc * Fc, axis=0)
-    s, sig = ozaki.split_global_int8(Fc, n_slices=8)
+    s, sig = ozaki.split_global_int8(Fc, n_slices=ns)
     return lev, s, sig
 
 
 def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i,
-                              to_slices: bool = False):
+                              to_slices: bool = False, n_slices: int = 8):
     """Build the Woodbury factor F (k, n) from PSD kernel columns.
 
     C_psd: (n, k) PSD columns (device array). cols: (k,) host indices of
@@ -431,7 +436,7 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i,
             # GEMM instead of an emulated-f64 Y Y^T.
             if c1 - c0 < chunk:
                 sl = jnp.pad(sl, ((0, 0), (0, chunk - (c1 - c0))))
-            Y, G = _solve_chunk_oz(Lw, sl, nb=nb)
+            Y, G = _solve_chunk_oz(Lw, sl, nb=nb, ns=n_slices)
         else:
             Y, G = _solve_chunk(Lw, sl, nb=nb)
         qt_chunks.append(Y)
@@ -449,7 +454,7 @@ def _nystrom_factor_from_cols(C_psd, cols, lam, reg_w, reg_i,
         # stays ~8 B/elem and the CG-time factor is the 8-slice stack.
         lev_chunks, s_chunks, sig_chunks = [], [], []
         for Y in qt_chunks:
-            lev, sc, sig = _solve_chunk_final_oz(L, Y, nb=nb)
+            lev, sc, sig = _solve_chunk_final_oz(L, Y, nb=nb, ns=n_slices)
             lev_chunks.append(lev)
             s_chunks.append(sc)
             sig_chunks.append(sig)
@@ -506,8 +511,10 @@ def _gram_accum_y(gram, Lw, C, *, nb):
     return gram + ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=8)
 
 
-@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=('nb',))
-def _f_chunk_streamed(Lw, L, C, *, nb):
+@functools.partial(
+    jax.jit, donate_argnums=(2,), static_argnames=('nb', 'ns')
+)
+def _f_chunk_streamed(Lw, L, C, *, nb, ns=8):
     """One streamed factor chunk: ``F_c = L^{-1} L_W^{-1} C_c^T`` via two
     triangular solves (the one-pass build's exact arithmetic), its
     leverage-score contribution, and the chunk's int8 slice stack. The
@@ -517,7 +524,7 @@ def _f_chunk_streamed(Lw, L, C, *, nb):
 
     F = blocked_tri_solve(L, blocked_tri_solve(Lw, C.T, nb=nb), nb=nb)
     lev = jnp.sum(F * F, axis=0)
-    s, sg = ozaki.split_global_int8(F, n_slices=8)
+    s, sg = ozaki.split_global_int8(F, n_slices=ns)
     return lev, s, sg
 
 
@@ -553,6 +560,71 @@ def _zeros_stack_fn(shape):
     return jax.jit(lambda: jnp.zeros(shape, dtype=jnp.int8), **kw)
 
 
+@functools.lru_cache(maxsize=None)
+def _gram_apply_fn():
+    """One power-iteration step on the REPRESENTED operator F^T F (slice
+    truncation included) — the same sliced matvecs the CG apply uses,
+    with the stack's row-major layout pinned (see `_stack_fmt`)."""
+
+    def step(sF, sigF, v):
+        chunk = sF.shape[2] // sigF.shape[0]
+        w = ozaki.matvec_sliced_long(sF, sigF, v, chunk=chunk)
+        u = ozaki.matvec_sliced_long_t(sF, sigF, w, chunk=chunk)
+        nrm = jnp.linalg.norm(u)
+        return u / jnp.maximum(nrm, 1e-300), nrm
+
+    fmt = _stack_fmt()
+    kw = {} if fmt is None else {'in_shardings': (fmt, None, None)}
+    return jax.jit(step, **kw)
+
+
+def _renorm_sliced_factor(F, n_slices: int, iters: int = 40):
+    """Scale the slice stack so the represented factor has spectral norm
+    strictly below 1, keeping the Woodbury apply ``v - F^T (F v)`` PSD.
+
+    The exact factor satisfies ``||F||_2^2 = d_max/(d_max + lam) < 1``
+    by construction, but at small lam the margin is ~``lam/d_max`` (can
+    be 1e-14) — far below the slice-truncation noise once the stack
+    drops under 8 slices (~2^-36 per entry at 6), so the REPRESENTED
+    ``I - F^T F`` can go indefinite in the top Nystrom directions and
+    trip the CG's PSD guard every iteration. Fix: measure the
+    represented norm by power iteration (on the same sliced matvecs CG
+    uses) and shrink the global chunk scales so the norm lands at
+    ``1 - eps`` with ``eps`` at the truncation-noise floor. The
+    distortion this adds to the top preconditioned eigenvalues is the
+    same order as the truncation noise already present — it makes the
+    error one-signed (PSD) rather than larger.
+
+    No-op at 8 slices (the validated default's norm already sits below
+    the eps floor's distance from 1 only when truncation pushes it
+    over; measured stacks at 48 bits stay below 1).
+    """
+    sF, sigF = F
+    k, ncols = sF.shape[1], sF.shape[2]
+    rng = np.random.default_rng(12345)
+    v = jnp.asarray(rng.standard_normal(ncols))
+    v = v / jnp.linalg.norm(v)
+    step = _gram_apply_fn()
+    nrm = None
+    for _ in range(iters):
+        v, nrm = step(sF, sigF, v)
+    sigma_sq = float(nrm)  # ~ lambda_max(F^T F) from the Rayleigh limit
+    # Truncation-noise floor: per-entry ~2^-(6 ns) of the chunk scale,
+    # accumulated over a (k, ncols) factor in spectral norm (loose
+    # Frobenius-style bound), with slack for power-iteration error.
+    eps = max(1e-9, 8.0 * np.sqrt(float(k) * ncols)
+              * 2.0 ** (-ozaki.Q_BITS * n_slices))
+    eps = min(eps, 1e-3)
+    if sigma_sq <= (1.0 - eps) ** 2:
+        return F
+    s = (1.0 - eps) / np.sqrt(sigma_sq)
+    log.debug(
+        'Renormalizing slice-stack factor: represented ||F||=%.3e -> '
+        '%.3e (%d slices).', np.sqrt(sigma_sq), 1.0 - eps, n_slices,
+    )
+    return sF, sigF * jnp.asarray(s, dtype=sigF.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Solver
 # ---------------------------------------------------------------------------
@@ -560,11 +632,27 @@ def _zeros_stack_fn(shape):
 
 class Iterative:
     def __init__(self, gdml_train=None, callback=None, max_memory: float = 12,
-                 mesh=None, factor_mode: str = 'auto'):
+                 mesh=None, factor_mode: str = 'auto',
+                 factor_slices: int | None = None):
+        import os
+
         self.gdml_train = gdml_train
         self.callback = callback
         self._max_memory = max_memory
         self.mesh = mesh
+        # int8 mantissa slices stored per factor element (6 bits each).
+        # 8 = 48 bits below each chunk scale — the validated default.
+        # 6 = 36 bits at 7/9 the stack memory: ~30% more inducing points
+        # in the same HBM. Below 8 the represented factor's spectral norm
+        # can exceed 1 by the truncation error (the exact factor's top
+        # singular values sit at 1 - lam/(lam + d_i)), so the build then
+        # renormalizes the stack scale to keep `I - F^T F` PSD
+        # (`_renorm_sliced_factor`). Env override: SGDML_FACTOR_SLICES.
+        if factor_slices is None:
+            factor_slices = int(os.environ.get('SGDML_FACTOR_SLICES', 8))
+        if not 3 <= factor_slices <= 10:
+            raise ValueError('factor_slices must be in [3, 10]')
+        self.factor_slices = factor_slices
         # CG matvec matmul mode: 'ozaki' runs the prediction pass's
         # O(M^2 P D) matmuls as int8-MXU Ozaki GEMMs (6 slices — ample
         # for the 1e-4 CG tolerance, ~6x emulated-f64 matmul rate);
@@ -646,10 +734,13 @@ class Iterative:
                 reg,
                 reg,
                 to_slices=self._use_ozaki_factor(),
+                n_slices=self.factor_slices,
             )
             if ok:
                 if reg > 0:
                     log.debug('Nystrom factor needed regularization %g.', reg)
+                if isinstance(F, tuple) and self.factor_slices < 8:
+                    F = _renorm_sliced_factor(F, self.factor_slices)
                 return F, np.asarray(lev, dtype=np.float64)
         raise RuntimeError(
             'Failed to factorize the Nystrom preconditioner despite strong '
@@ -770,16 +861,22 @@ class Iterative:
         L = jnp.asarray(L_h)
 
         # Sweep 3: F chunks straight into the preallocated slice stack.
-        sF = _zeros_stack_fn((8, kcols, n_ch * rows_ch))()
+        ns = self.factor_slices
+        sF = _zeros_stack_fn((ns, kcols, n_ch * rows_ch))()
         sigs, levs = [], []
         for c in range(n_ch):
-            lev_c, s_c, sig_c = _f_chunk_streamed(Lw, L, chunk(c), nb=nb)
+            lev_c, s_c, sig_c = _f_chunk_streamed(
+                Lw, L, chunk(c), nb=nb, ns=ns
+            )
             sF = _write_slices(sF, s_c, jnp.asarray(c * rows_ch))
             sigs.append(sig_c)
             levs.append(np.asarray(lev_c))
         sigF = jnp.asarray(np.asarray(sigs, dtype=np.float32))
         lev_scores = np.concatenate(levs)[:n].astype(np.float64)
-        return (sF, sigF), lev_scores
+        F = (sF, sigF)
+        if ns < 8:
+            F = _renorm_sliced_factor(F, ns)
+        return F, lev_scores
 
     def _lev_scores(
         self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
@@ -885,7 +982,11 @@ class Iterative:
                 use_E_cstr=use_E_cstr,
             )
 
-        factor_bytes = 9.0 if self._use_ozaki_factor() else 16.0
+        # Slice-stack factor: ns int8 planes + ~1 B/elem of v-slice and
+        # chunk transients (9 B at the 8-slice default).
+        factor_bytes = (
+            self.factor_slices + 1.0 if self._use_ozaki_factor() else 16.0
+        )
         streamed = self._use_ozaki_factor() and not use_E_cstr
         max_n_ind = Iterative.max_n_inducing_pts(
             n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev,
@@ -1222,17 +1323,20 @@ class Iterative:
 
         if streamed:
             # Two-pass streaming build (_build_factor_streamed): the
-            # device high-water mark is the 9 B/elem int8 slice stack
-            # plus one assembly chunk and the k x k stages — the f64
-            # column block and f64 factor never exist. Budget the stack
-            # at 72% of memory minus a fixed reserve for chunk
-            # transients, descriptor tables, CG vectors and XLA
+            # device high-water mark is the ``factor_bytes``/elem int8
+            # slice stack (n_slices + 1 transient; 9 B at the 8-slice
+            # default) plus one assembly chunk and the k x k stages —
+            # the f64 column block and f64 factor never exist. Budget
+            # the stack at 72% of memory minus a fixed reserve for
+            # chunk transients, descriptor tables, CG vectors and XLA
             # workspace (validated by an on-chip probe at MD22 M=3000
             # scale, BENCH_NOTES round 3).
             n = n_train * dim_i
             reserve = 1.5e9
             avail = max(0.0, 0.72 * max_memory_bytes - reserve)
-            cap = avail * max(1, int(n_dev)) / (9.0 * n * dim_i)
+            cap = avail * max(1, int(n_dev)) / (
+                min(float(factor_bytes), 16.0) * n * dim_i
+            )
             return max(1, min(int(cap), n_train))
 
         to_dof = dim_i**2 * 8

@@ -252,9 +252,13 @@ def test_cg_ozaki_factor_matches_f64(ds):
     y = task['F_train'].reshape(-1) / np.std(task['F_train'])
 
     results = {}
-    for mode in ('f64', 'ozaki'):
+    for mode, ns in (('f64', 8), ('ozaki', 8), ('ozaki6', 6)):
         np.random.seed(42)
-        solver = Iterative(trainer, max_memory=12, factor_mode=mode)
+        solver = Iterative(
+            trainer, max_memory=12,
+            factor_mode='ozaki' if mode.startswith('ozaki') else mode,
+            factor_slices=ns,
+        )
         alphas, tol, iters, resid, rmse, idxs, is_conv = solver.solve(
             task, np.asarray(X), np.asarray(Jc), dperms, y, 1.0
         )
@@ -262,7 +266,9 @@ def test_cg_ozaki_factor_matches_f64(ds):
         results[mode] = alphas
 
     denom = np.linalg.norm(results['f64'])
-    rel = np.linalg.norm(results['ozaki'] - results['f64']) / denom
-    # Both converged to tol=1e-4 along slightly different numerical
-    # paths; agreement at the CG-tolerance level.
-    assert rel < 1e-2, rel
+    # Both slice counts converged to tol=1e-4 along slightly different
+    # numerical paths; agreement at the CG-tolerance level. (6 slices =
+    # the renormalized capacity-fallback stack, 7 B/elem.)
+    for mode in ('ozaki', 'ozaki6'):
+        rel = np.linalg.norm(results[mode] - results['f64']) / denom
+        assert rel < 1e-2, (mode, rel)

@@ -126,3 +126,61 @@ def test_e_cstr_falls_back_to_one_pass(setup):
     sF, sigF = F
     assert sF.shape[2] >= n + m  # energy rows present (pre-padding)
     assert lev.shape[0] == n + m
+
+
+def test_six_slice_factor_is_psd_and_close(setup):
+    """factor_slices=6 (7 B/elem — the single-chip capacity fallback):
+    the streamed build renormalizes the stack so the represented
+    ``I - F^T F`` stays PSD, and the Woodbury apply agrees with the
+    8-slice stack to well inside the CG tolerance."""
+    from sgdml_tpu.solvers.iterative import _gram_apply_fn
+
+    X, Jc, dperms, n_atoms, m, cols = setup
+    n = m * 3 * n_atoms
+
+    factors = {}
+    for ns in (8, 6):
+        solver = Iterative(
+            GDMLTrain(), factor_mode='ozaki', factor_slices=ns
+        )
+        F, lev = solver._build_factor_streamed(
+            X, Jc, dperms, SIG, LAM, cols, n_atoms
+        )
+        assert F[0].shape[0] == ns
+        factors[ns] = F
+
+    # Represented spectral norm of the 6-slice stack stays below 1
+    # (power iteration on the truncated operator itself).
+    sF, sigF = factors[6]
+    step = _gram_apply_fn()
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(sF.shape[2]))
+    v = v / jnp.linalg.norm(v)
+    nrm = None
+    for _ in range(60):
+        v, nrm = step(sF, sigF, v)
+    assert float(nrm) <= 1.0, float(nrm)
+
+    # Apply parity between the stacks at the CG-tolerance level.
+    w = rng.standard_normal(n)
+
+    def apply(F):
+        sF, sigF = F
+        wp = jnp.pad(jnp.asarray(w), (0, sF.shape[2] - n))
+        return np.asarray(_factor_apply_ozaki(sF, sigF, wp))[:n]
+
+    z8, z6 = apply(factors[8]), apply(factors[6])
+    assert np.linalg.norm(z6 - z8) / np.linalg.norm(w) < 1e-5
+
+
+def test_six_slice_budget_exceeds_eight():
+    """factor_slices=6 lifts the streamed inducing-point cap ~9/7 over
+    the 8-slice default in the same per-device budget."""
+    mem = 15.5 * 1024**3
+    cap8 = Iterative.max_n_inducing_pts(
+        3000, 60, mem, factor_bytes=9.0, streamed=True
+    )
+    cap6 = Iterative.max_n_inducing_pts(
+        3000, 60, mem, factor_bytes=7.0, streamed=True
+    )
+    assert cap6 > cap8
