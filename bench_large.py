@@ -23,7 +23,9 @@ logging.basicConfig(level=logging.INFO, format='[%(levelname)s] %(message)s')
 
 
 def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
-           max_seconds=None):
+           max_seconds=None, ckpt=None):
+    import os
+
     from sgdml_tpu.train import GDMLTrain
 
     # The chip has 15.7 GiB usable (BENCH_NOTES.md); the framework's
@@ -31,9 +33,28 @@ def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
     # training to the f32-grid path instead of the pair path.
     trainer = GDMLTrain(max_memory=15.5)
     np.random.seed(1)
-    task = trainer.create_task(
-        ds, m_train, ds, 200, sig=sig, lam=lam, use_sym=use_sym, use_E=True
-    )
+    if ckpt and os.path.isfile(ckpt):
+        # Resume a multi-hour CG across process/VM restarts: rebuild the
+        # task from the periodically-checkpointed unconverged model
+        # (same split, warm-started alphas — train.py
+        # create_task_from_model, reference sgdml/train.py:649-725).
+        model0 = dict(np.load(ckpt, allow_pickle=True))
+        task = trainer.create_task_from_model(model0, ds)
+        logging.info(
+            'Warm-starting from %s (%s CG iterations so far).',
+            ckpt, model0.get('solver_iters', '?'),
+        )
+    else:
+        task = trainer.create_task(
+            ds, m_train, ds, 200, sig=sig, lam=lam, use_sym=use_sym,
+            use_E=True,
+        )
+    save_cb = None
+    if ckpt:
+        def save_cb(model):
+            tmp = ckpt + '.tmp.npz'
+            np.savez_compressed(tmp, **model)
+            os.replace(tmp, ckpt)
     # Warm the backend before the timer: the first device touch pays the
     # per-process TPU claim through the axon tunnel (measured 30-140 s
     # depending on tunnel health — BENCH_NOTES round 3), which would
@@ -42,8 +63,13 @@ def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
 
     np.asarray(jnp.zeros(8) + 1.0)
     t0 = timeit.default_timer()
-    model = trainer.train(task, solver=solver, solver_max_seconds=max_seconds)
+    model = trainer.train(
+        task, solver=solver, solver_max_seconds=max_seconds,
+        save_progr_callback=save_cb,
+    )
     t_train = timeit.default_timer() - t0
+    if ckpt:
+        save_cb(model)  # final state (converged or budget-ended)
     return task, model, t_train
 
 
@@ -111,9 +137,14 @@ def bench_atat3000():
 
     m_train = int(os.environ.get('SGDML_BENCH_M', 3000))
     max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 1800))
+    # SGDML_BENCH_CKPT=<path.npz>: checkpoint the unconverged model every
+    # ~2 min and warm-start from it on relaunch — lets a multi-hour CG
+    # span process/VM restarts (pick a path that survives them).
+    ckpt = os.environ.get('SGDML_BENCH_CKPT') or None
     ds = generate_md_dataset(n_atoms=60, n_frames=m_train + 600, seed=11)
     task, model, t_train = _train(
-        ds, m_train, sig=25.0, solver='cg', max_seconds=max_seconds
+        ds, m_train, sig=25.0, solver='cg', max_seconds=max_seconds,
+        ckpt=ckpt,
     )
     mae, scale = _force_mae(ds, task, model, n_test=300)
     out = {
@@ -259,19 +290,23 @@ def bench_md():
 
 
 if __name__ == '__main__':
-    which = sys.argv[1] if len(sys.argv) > 1 else 'sym'
-    if which.endswith('_mesh'):
-        # Force the 8-device virtual CPU mesh BEFORE jax backend init
-        # (the environment's sitecustomize force-registers a TPU plugin,
-        # so the config-level override is required too).
-        import os
+    import os
 
+    which = sys.argv[1] if len(sys.argv) > 1 else 'sym'
+    if which.endswith('_mesh') or os.environ.get('SGDML_BENCH_CPU'):
+        # Force the CPU backend BEFORE jax backend init (the environment's
+        # sitecustomize force-registers a TPU plugin that ignores
+        # JAX_PLATFORMS, so the config-level override is required too).
+        # _mesh modes additionally get an 8-device virtual CPU mesh;
+        # SGDML_BENCH_CPU=1 forces CPU for any mode (plumbing smoke tests
+        # must not pay — or collide with — the TPU tunnel).
         os.environ['JAX_PLATFORMS'] = 'cpu'
-        flags = os.environ.get('XLA_FLAGS', '')
-        if '--xla_force_host_platform_device_count' not in flags:
-            os.environ['XLA_FLAGS'] = (
-                flags + ' --xla_force_host_platform_device_count=8'
-            ).strip()
+        if which.endswith('_mesh'):
+            flags = os.environ.get('XLA_FLAGS', '')
+            if '--xla_force_host_platform_device_count' not in flags:
+                os.environ['XLA_FLAGS'] = (
+                    flags + ' --xla_force_host_platform_device_count=8'
+                ).strip()
         import jax
 
         jax.config.update('jax_platforms', 'cpu')

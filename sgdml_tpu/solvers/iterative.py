@@ -56,6 +56,16 @@ EFF_RESTART_THRESH = 0  # restart when effectiveness <= this percentage
 MAX_NUM_RESTARTS = 6
 CHECKPOINT_INTERVAL_S = 2 * 60.0
 CG_CHUNK_ITERS = 50  # CG iterations per jitted chunk
+# Residual replacement (van der Vorst & Ye, SIAM J. Sci. Comput. 1999):
+# the recursive CG residual drifts from the true one b - Ax — measured
+# 30-40% over ~300 iterations at MD22 M=3000 with the int8 matvec.
+# Upward drift trips the stall detector on a healthy solve (the round-3
+# k=15 attempt burned all 6 restarts this way); downward drift declares
+# false convergence. One exact f64 matvec per 50-iteration chunk (~2-6%
+# of chunk cost) measures the truth; past this relative gap the
+# recursion is re-anchored at it (r, z, rz replaced; x and the search
+# direction p kept).
+RESID_REPLACE_DRIFT = 0.02
 
 
 # ---------------------------------------------------------------------------
@@ -1067,11 +1077,7 @@ class Iterative:
                 mm=mv_mm,
             )
 
-        def init_state(x_init, Fp_cur):
-            x = jnp.asarray(
-                x_init if x_init is not None else np.zeros(n), dtype=b.dtype
-            )
-            r = b - A_apply(x)
+        def precond_z(r, Fp_cur):
             rp = jnp.pad(r, (0, _factor_ncols(Fp_cur) - r.shape[0]))
             if apply_mode == 'ozaki':
                 z0 = _init_z_ozaki(Fp_cur[0], Fp_cur[1], rp)
@@ -1079,7 +1085,14 @@ class Iterative:
                 z0 = _init_z_plain(Fp_cur, rp)
             else:
                 z0 = _init_z(Fp_cur, rp)
-            z = z0[: r.shape[0]].astype(r.dtype) / lam
+            return z0[: r.shape[0]].astype(r.dtype) / lam
+
+        def init_state(x_init, Fp_cur):
+            x = jnp.asarray(
+                x_init if x_init is not None else np.zeros(n), dtype=b.dtype
+            )
+            r = b - A_apply(x)
+            z = precond_z(r, Fp_cur)
             rz = r @ z
             if not bool(rz > 0):  # PSD guard (see _pcg_chunk body)
                 z = r
@@ -1108,9 +1121,51 @@ class Iterative:
 
             hist_np = np.asarray(hist[:it_done])
             new_resid_series = np.concatenate([[resid], hist_np])
+            resid_rec = float(new_resid_series[-1])
+
+            # Residual replacement: measure the TRUE residual once per
+            # chunk and re-anchor the recursion when it has drifted (see
+            # RESID_REPLACE_DRIFT). Convergence, best-iterate tracking
+            # and the effectiveness series all follow the true residual —
+            # the recursive one can neither stall a healthy solve nor
+            # declare false convergence.
+            replaced = False
+            r_true = b - A_apply(x)
+            true_resid = float(np.linalg.norm(np.asarray(r_true)))
+            if np.isfinite(true_resid):
+                drift = (
+                    abs(true_resid - resid_rec) / max(true_resid, 1e-300)
+                    if np.isfinite(resid_rec) else np.inf
+                )
+                # An early while_loop exit without true convergence means
+                # the recursive residual dipped below tol (or went
+                # non-finite) while the truth is still above it — always
+                # re-anchor then, or the next chunk would make no progress.
+                early_noconv = (
+                    it_done < CG_CHUNK_ITERS
+                    and true_resid > tol * b_norm
+                )
+                if drift > RESID_REPLACE_DRIFT or early_noconv:
+                    z_new = precond_z(r_true, Fp)
+                    rz_new = r_true @ z_new
+                    if not bool(rz_new > 0):  # PSD guard
+                        z_new = r_true
+                        rz_new = r_true @ r_true
+                        p = z_new  # beta = 0: restart the direction too
+                    state = (x, r_true, z_new, p, rz_new, 0, state[6])
+                    replaced = True
+                    log.info(
+                        'CG residual replacement at iteration %d: '
+                        'recursive %.3e -> true %.3e (drift %.1f%%).',
+                        num_iters, resid_rec, true_resid, 100 * drift,
+                    )
+                new_resid_series[-1] = true_resid
+                resid = true_resid
+            else:
+                resid = resid_rec
+
             steps_hist += list(np.diff(new_resid_series))
             steps_hist = steps_hist[-CG_STEPS_HIST_LEN:]
-            resid = float(new_resid_series[-1])
             if np.isfinite(resid) and resid < best_resid:
                 best_resid = resid
                 best_x = np.asarray(x)
@@ -1136,9 +1191,11 @@ class Iterative:
                 )
                 break
             if it_done < CG_CHUNK_ITERS and not converged:
-                # while_loop exited early without convergence: numerical
-                # stagnation — treat as stall.
-                eff = -100
+                # while_loop exited early without true convergence. If the
+                # residual replacement re-anchored the recursion this is
+                # drift, not stagnation — continue; otherwise (non-finite
+                # truth: the iterate itself broke down) treat as stall.
+                eff = 100 if replaced else -100
             elif len(steps_hist) < CG_STEPS_HIST_LEN:
                 eff = 100  # not enough history to judge yet
             else:

@@ -230,6 +230,102 @@ def test_cg_with_energy_constraints(ds):
     assert np.abs(Ec - Ea).mean() < 5e-2
 
 
+def test_resume_roundtrips_through_npz(ds, models, tmp_path):
+    """An (unconverged) checkpoint written with np.savez_compressed and
+    reloaded must rebuild a resumable task — the exact path a multi-hour
+    CG run takes across process restarts (bench_large.py SGDML_BENCH_CKPT).
+    np.load wraps scalars/None/dicts in 0-d object arrays; the round trip
+    must survive that."""
+    task, _, m_cg = models
+    # Simulate an unconverged checkpoint: mid-solve alphas + CG bookkeeping.
+    model = dict(m_cg)
+    model['solver_iters'] = 7
+    model['solver_resid'] = 123.0
+    path = tmp_path / 'ckpt.npz'
+    np.savez_compressed(path, **model)
+
+    loaded = dict(np.load(path, allow_pickle=True))
+    trainer = GDMLTrain()
+    resumed = trainer.create_task_from_model(loaded, ds)
+    assert 'alphas0_F' in resumed
+    assert int(resumed['solver_iters']) == 7
+    np.random.seed(24)
+    m2 = trainer.train(resumed, solver='cg')
+    assert m2['solver_resid'] <= m2['solver_tol'] * m2['norm_y_train']
+
+
+@pytest.mark.parametrize('scale', [1.1, 0.5])
+def test_cg_residual_replacement_recovers_from_drift(
+    ds, monkeypatch, caplog, scale
+):
+    """Residual replacement re-anchors a drifting recursive residual at the
+    true one (b - Ax): upward drift (scale 1.1) must not trip the stall
+    detector (the round-3 MD22 M=3000 failure mode), downward drift
+    (scale 0.5) must not declare false convergence. Both runs must reach
+    TRUE convergence, verified with an independent exact matvec."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from sgdml_tpu.ops import descriptor as desc_ops
+    from sgdml_tpu.solvers import iterative as it_mod
+
+    orig_jit = it_mod._pcg_chunk_jit
+
+    def drifting(pin_stack):
+        f = orig_jit(pin_stack)
+
+        def call(state, Fp, *a, **k):
+            x, r, z, p, rz, it, hist = f(state, Fp, *a, **k)
+            # Corrupt the recursive residual AND its history between
+            # chunks — the host loop must detect the drift against the
+            # true residual and re-anchor.
+            return (x, r * scale, z, p, rz, it, hist * scale)
+
+        return call
+
+    monkeypatch.setattr(it_mod, '_pcg_chunk_jit', drifting)
+    monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 10)
+
+    trainer = GDMLTrain()
+    np.random.seed(51)
+    task = trainer.create_task(
+        ds, 30, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    n_train, n_atoms = task['R_train'].shape[:2]
+    R = task['R_train'].reshape(n_train, -1)
+    R_desc, R_d_desc = desc_ops.descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange(desc_ops.descriptor_dim(n_atoms))[None, :]
+    y = task['F_train'].ravel()
+    y_std = float(np.std(y))
+
+    solver = it_mod.Iterative(trainer)
+    with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
+        alphas, tol, num_iters, resid, _, _, is_conv = solver.solve(
+            task, np.asarray(R_desc), np.asarray(R_d_desc), dperms,
+            y / y_std, y_std,
+        )
+    assert is_conv
+    assert any('residual replacement' in r.message for r in caplog.records)
+    assert not any('stalled' in r.message for r in caplog.records)
+
+    # Independent ground truth: the returned resid must be the TRUE
+    # residual of the returned solution, and truly below tolerance.
+    perms_key = (
+        np.ascontiguousarray(dperms.astype(np.int64)).tobytes(), dperms.shape
+    )
+    b = jnp.asarray(y / y_std)
+    r_true = b - it_mod._matvec_A(
+        jnp.asarray(-alphas), R_desc, R_d_desc, R_desc, R_d_desc,
+        float(task['sig']), float(task['lam']), n_atoms=n_atoms,
+        desc_perms_key=perms_key, use_E_cstr=False,
+    )
+    true_resid = float(np.linalg.norm(np.asarray(r_true)))
+    b_norm = float(np.linalg.norm(y / y_std))
+    assert true_resid <= 1.05 * tol * b_norm, (true_resid, tol * b_norm)
+    assert abs(true_resid - resid) <= 0.05 * max(true_resid, 1e-12)
+
+
 def test_cg_ozaki_factor_matches_f64(ds):
     """factor_mode='ozaki' (int8 slice-stack Woodbury factor, the TPU
     default) must converge to the same predictions as the dense-f64
