@@ -575,14 +575,15 @@ def _add_common_train_args(p):
     )
     p.add_argument('-o', '--overwrite', action='store_true')
     p.add_argument(
-        '--valid_dataset', type=_dataset_path, default=None,
+        '-v', '--valid_dataset', '--validation_dataset',
+        type=_dataset_path, default=None,
         help='draw the validation split from this dataset instead of the '
-        'training one (reference: separate valid_dataset argument)',
+        'training one (reference: -v/--validation_dataset, cli.py:2061)',
     )
     p.add_argument(
-        '--perms', default=None,
+        '--perms', '--perms_from', default=None,
         help='npz/npy file providing the permutation table (skips '
-        'symmetry discovery)',
+        'symmetry discovery; reference: --perms_from, cli.py:2094)',
     )
     p.add_argument('--task_dir', default=None)
     p.add_argument('--max_memory', type=float, default=None, help='GB budget')
@@ -606,6 +607,10 @@ def main(argv=None):
         description='TPU-native sGDML force-field reconstruction (v%s)'
         % __version__,
     )
+    parser.add_argument(
+        '--version', action='version',
+        version='%%(prog)s %s' % __version__,
+    )
     sub = parser.add_subparsers(dest='command', required=True)
 
     p = sub.add_parser('all', help='create + train + select + test')
@@ -613,9 +618,9 @@ def main(argv=None):
     p.add_argument('n_test', type=int, nargs='?', default=None)
     p.add_argument('--model_file', default=None)
     p.add_argument(
-        '--test_dataset', type=_dataset_path, default=None,
+        '-t', '--test_dataset', type=_dataset_path, default=None,
         help='run the final test on this dataset instead of the training '
-        'one (reference: separate test_dataset argument)',
+        'one (reference: -t/--test_dataset, cli.py:2069)',
     )
     p.add_argument(
         '--lazy', action='store_true',
