@@ -160,6 +160,98 @@ def test_cg_restart_bounded_at_memory_cap(ds, monkeypatch, caplog):
     assert reseeds, 'cap-bounded re-seed branch never fired'
 
 
+def test_cg_budgeted_reseeds_not_counted_against_restarts(
+    ds, monkeypatch, caplog
+):
+    """With a wall-clock budget, cap-bounded re-seeds (cheap: one exact
+    matvec) are NOT counted against MAX_NUM_RESTARTS: the solve keeps
+    re-seeding while each cycle improves the best residual, bounded by
+    max_seconds — the round-3 M=3000 failure burned its 6 restarts on a
+    healthy oscillating solve and gave up at 4x the reachable residual."""
+    import logging
+
+    from sgdml_tpu.solvers import iterative as it_mod
+
+    monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 4)
+    monkeypatch.setattr(it_mod, 'EFF_RESTART_THRESH', 100)  # stall always
+    monkeypatch.setattr(it_mod, 'MAX_NUM_RESTARTS', 2)
+    monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
+
+    trainer = GDMLTrain(max_memory=0.02)
+    np.random.seed(44)
+    task = trainer.create_task(
+        ds, 24, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    from sgdml_tpu.ops import descriptor as desc_ops
+    import jax.numpy as jnp
+
+    n_train, n_atoms = task['R_train'].shape[:2]
+    R = task['R_train'].reshape(n_train, -1)
+    R_desc, R_d_desc = desc_ops.descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange(desc_ops.descriptor_dim(n_atoms))[None, :]
+    y = task['F_train'].ravel()
+    y_std = float(np.std(y))
+
+    solver = it_mod.Iterative(trainer, max_memory=0.02)
+    with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
+        out = solver.solve(
+            task, np.asarray(R_desc), np.asarray(R_d_desc), dperms,
+            y / y_std, y_std, tol=0.0, max_seconds=8.0,
+        )
+    num_iters = out[2]
+    reseeds = [
+        r for r in caplog.records if 'memory cap' in r.message
+    ]
+    # The solve re-seeded more times than MAX_NUM_RESTARTS would allow
+    # (every chunk is a forced stall) and exited on the wall budget or
+    # barren cycles, not the restart counter.
+    assert len(reseeds) > 2, len(reseeds)
+    assert num_iters > 2 * 5
+    assert not any(
+        'stalled %d times' % 2 in r.message for r in caplog.records
+    )
+
+
+def test_cg_barren_reseeds_terminate(ds, monkeypatch, caplog):
+    """Budgeted re-seeding must still terminate when it stops paying:
+    with the improvement bar set impossibly high every cycle is barren
+    and the solve gives up after MAX_BARREN_RESEEDS."""
+    import logging
+
+    from sgdml_tpu.solvers import iterative as it_mod
+
+    monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 4)
+    monkeypatch.setattr(it_mod, 'EFF_RESTART_THRESH', 100)
+    monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
+    monkeypatch.setattr(it_mod, 'RESEED_MIN_GAIN', 1.0)  # unreachable bar
+
+    trainer = GDMLTrain(max_memory=0.02)
+    np.random.seed(45)
+    task = trainer.create_task(
+        ds, 24, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    from sgdml_tpu.ops import descriptor as desc_ops
+    import jax.numpy as jnp
+
+    n_train, n_atoms = task['R_train'].shape[:2]
+    R = task['R_train'].reshape(n_train, -1)
+    R_desc, R_d_desc = desc_ops.descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange(desc_ops.descriptor_dim(n_atoms))[None, :]
+    y = task['F_train'].ravel()
+    y_std = float(np.std(y))
+
+    solver = it_mod.Iterative(trainer, max_memory=0.02)
+    with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
+        out = solver.solve(
+            task, np.asarray(R_desc), np.asarray(R_d_desc), dperms,
+            y / y_std, y_std, tol=0.0, max_seconds=120.0,
+        )
+    assert np.isfinite(out[0]).all()
+    assert any('barren' in r.message for r in caplog.records)
+    # Terminated after MAX_BARREN_RESEEDS cycles, far below the wall budget.
+    assert out[2] <= 5 * (it_mod.MAX_BARREN_RESEEDS + 2)
+
+
 def test_cg_near_duplicate_geometries_still_returns(ds):
     """Near-duplicate training geometries (ill-conditioned kernel) must not
     hang or crash the solver; it returns a finite solution."""
@@ -276,11 +368,11 @@ def test_cg_residual_replacement_recovers_from_drift(
         f = orig_jit(pin_stack)
 
         def call(state, Fp, *a, **k):
-            x, r, z, p, rz, it, hist = f(state, Fp, *a, **k)
+            x, r, z, p, rz, it, hist, n_bad = f(state, Fp, *a, **k)
             # Corrupt the recursive residual AND its history between
             # chunks — the host loop must detect the drift against the
             # true residual and re-anchor.
-            return (x, r * scale, z, p, rz, it, hist * scale)
+            return (x, r * scale, z, p, rz, it, hist * scale, n_bad)
 
         return call
 
