@@ -78,6 +78,14 @@ RESID_REPLACE_DRIFT = 0.02
 # restarts on exactly this healthy pattern and gave up at resid 22.)
 RESEED_MIN_GAIN = 0.002
 MAX_BARREN_RESEEDS = 2
+# At the cap, the residual NORM oscillates (measured 2x above the best
+# at MD22 M=3000 k=15) while the A-norm error — which CG actually
+# minimizes — keeps falling: re-seeding on the oscillation discards the
+# Krylov space exactly when it is resolving the hard small-eigenvalue
+# directions. Budgeted cap re-seeds therefore only fire once the BEST
+# residual has stagnated this many iterations, not on the per-step
+# effectiveness monitor.
+RESEED_STAGNATION_ITERS = 500
 
 
 # ---------------------------------------------------------------------------
@@ -1135,12 +1143,14 @@ class Iterative:
         best_x = np.asarray(state[0])
         reseed_best = np.inf  # best residual at the last cap re-seed
         barren_reseeds = 0
+        iters_since_best = 0  # stagnation window for budgeted re-seeds
 
         while True:
             state = pcg_chunk(state, Fp)
             x, r, z, p, rz, it_done, hist, n_bad = state
             it_done = int(it_done)
             num_iters += it_done
+            iters_since_best += it_done
             n_bad = int(n_bad)
             if n_bad:
                 log.info(
@@ -1199,6 +1209,7 @@ class Iterative:
             if np.isfinite(resid) and resid < best_resid:
                 best_resid = resid
                 best_x = np.asarray(x)
+                iters_since_best = 0
             elif not np.isfinite(resid):
                 log.warning(
                     'CG residual is non-finite at iteration %d (numerical '
@@ -1234,37 +1245,40 @@ class Iterative:
                 ratio = (-steps.clip(max=0).sum() / total) if total > 0 else 1.0
                 eff = (int(100 * ratio) - 50) * 2
 
+            # Rate over THIS process's iterations (warm starts carry
+            # num_iters0 from the checkpoint).
+            elapsed = timeit.default_timer() - t_start
+            rate = (num_iters - num_iters0) / max(elapsed, 1e-9)
             if self.callback is None:
-                elapsed = timeit.default_timer() - t_start
                 log.info(
-                    'CG: %d iters (%.2f iter/s), resid %.3e (target %.3e), '
-                    'effectiveness %d%%, k=%d.',
-                    num_iters, num_iters / max(elapsed, 1e-9), resid,
+                    'CG: %d iters (%.2f iter/s), resid %.3e (best %.3e, '
+                    'target %.3e), effectiveness %d%%, k=%d.',
+                    num_iters, rate, resid, best_resid,
                     tol * b_norm, eff, n_inducing_pts,
                 )
             else:
-                elapsed = timeit.default_timer() - t_start
                 self.callback(
                     num_iters,
                     max_iters,
                     disp_str='Training error (RMSE): forces %.4f'
                     % (resid / np.sqrt(n)),
                     sec_disp_str='%d iter @ %.2f iter/s, k=%d'
-                    % (num_iters, num_iters / max(elapsed, 1e-9), n_inducing_pts),
+                    % (num_iters, rate, n_inducing_pts),
                 )
 
-            # Periodic checkpoint of the unconverged model.
+            # Periodic checkpoint of the unconverged model — always the
+            # BEST iterate: mid-oscillation the current one can sit far
+            # above it (measured 2x at MD22 M=3000), and a resume
+            # re-initializes the Krylov space anyway.
             now = timeit.default_timer()
             if save_progr_callback is not None and (
                 now - last_ckpt > CHECKPOINT_INTERVAL_S
             ):
                 last_ckpt = now
                 self._save_checkpoint(
-                    task, R_desc, R_d_desc, y_std,
-                    x if np.isfinite(resid) else best_x,
-                    tol, num_iters,
-                    resid if np.isfinite(resid) else best_resid,
-                    b_norm, inducing_pts_idxs, save_progr_callback,
+                    task, R_desc, R_d_desc, y_std, best_x, tol, num_iters,
+                    best_resid, b_norm, inducing_pts_idxs,
+                    save_progr_callback,
                 )
 
             # Stall: strengthen the preconditioner and restart. Growth is
@@ -1304,6 +1318,14 @@ class Iterative:
                 # and unbudgeted re-seeds keep the reference's strict
                 # 6-restart bound (reference iterative.py:729-804).
                 budgeted_reseed = not can_grow and max_seconds is not None
+                if budgeted_reseed and (
+                    iters_since_best < RESEED_STAGNATION_ITERS
+                ):
+                    # The best iterate is still improving: the
+                    # effectiveness monitor is reading normal residual-
+                    # norm oscillation, not stagnation — keep the Krylov
+                    # space (see RESEED_STAGNATION_ITERS).
+                    continue
                 if not budgeted_reseed:
                     num_restarts += 1
                     if num_restarts >= MAX_NUM_RESTARTS:
@@ -1369,6 +1391,7 @@ class Iterative:
                     )
                 state = init_state(best_x, Fp)
                 resid = best_resid
+                iters_since_best = 0  # fresh Krylov gets a full window
 
         if not np.isfinite(resid) or resid > best_resid:
             x_final, resid = best_x, best_resid
