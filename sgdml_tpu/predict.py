@@ -85,10 +85,14 @@ def predict_from_tables(
 
     ``mm='ozaki'``: run the four O(B*T*D) matmuls as Ozaki int8-MXU GEMMs
     (6 slices, ~36-bit operands — truncation ~1e-11 of the row scales,
-    far below the iterative solver's 1e-4 CG tolerance this mode exists
-    for, and ~6x the emulated-f64 matmul rate on TPU). The elementwise
-    kernel coefficients stay f64. Falls back to native dots when a
-    contraction dimension exceeds the exact-int32 bound.
+    and ~6x the emulated-f64 matmul rate on TPU); ``mm='ozaki<N>'``
+    selects N mantissa slices. The matvec truncation sets a CG residual
+    floor of ~||b|| * 2^(-6N) * kappa (inexact-Krylov stagnation;
+    measured at MD22 M=3000: floor 12 on ||b||=735 at 6 slices with
+    kappa ~ 1e9), so the iterative solver escalates N when its best
+    residual stops improving. The elementwise kernel coefficients stay
+    f64. Falls back to native dots when a contraction dimension exceeds
+    the exact-int32 bound.
     """
     if Xq.dtype == jnp.float32:
         # True-f32 products: TPU default-precision f32 matmuls use bf16
@@ -123,16 +127,21 @@ def _predict_from_tables_body(
     Xq, Jcq, Xt, JA, alphas_E_lin, sig, std, c, *, n_atoms, with_forces,
     mm='native',
 ):
-    if mm == 'ozaki':
+    # mm='ozaki' runs the GEMMs on the int8 MXU at 6 mantissa slices;
+    # 'ozaki<N>' (e.g. 'ozaki8') selects N slices — the CG matvec
+    # escalates through these rungs when its residual floors out at the
+    # current truncation level (solvers/iterative.py MV_MM_LADDER).
+    ns = 6
+    if mm.startswith('ozaki'):
         from .ops.ozaki import max_contraction_dim
 
-        cap = max_contraction_dim(6)
-        if max(Xt.shape[0], Xt.shape[1]) > cap:
+        ns = int(mm[len('ozaki'):] or 6)
+        if max(Xt.shape[0], Xt.shape[1]) > max_contraction_dim(ns):
             mm = 'native'  # contraction overflows exact int32; stay f64
 
     def mm_nt(a, bt):
         """a @ bt with bt pre-transposed (k, n)."""
-        return _ozaki_nt(a, bt) if mm == 'ozaki' else a @ bt
+        return _ozaki_nt(a, bt, ns) if mm.startswith('ozaki') else a @ bt
 
     sig = jnp.asarray(sig, dtype=Xq.dtype)
 

@@ -86,6 +86,15 @@ MAX_BARREN_RESEEDS = 2
 # residual has stagnated this many iterations, not on the per-step
 # effectiveness monitor.
 RESEED_STAGNATION_ITERS = 500
+# CG matvec precision ladder. An inexact matvec stalls CG at a residual
+# floor ~ ||b|| * eps_mv * kappa (inexact-Krylov stagnation): at MD22
+# M=3000 (||b||=735, kappa ~ 1e9) the 6-slice int8 matvec (~2^-36)
+# floored at resid ~12 through 1500 uninterrupted iterations and two
+# fresh-Krylov re-seeds. When a budgeted re-seed cycle goes barren the
+# solver climbs one rung (+2 slices = 4096x lower truncation, ~15-30%
+# matvec cost) instead of giving up; 'native' emulated f64 is the last
+# rung. Giving up on barren cycles only happens at the top rung.
+MV_MM_LADDER = ('ozaki', 'ozaki8', 'ozaki10', 'native')
 
 
 # ---------------------------------------------------------------------------
@@ -1340,7 +1349,21 @@ class Iterative:
                     else:
                         barren_reseeds += 1
                     reseed_best = best_resid
-                    if barren_reseeds >= MAX_BARREN_RESEEDS:
+                    if barren_reseeds >= 1 and mv_mm != MV_MM_LADDER[-1]:
+                        # A barren cycle at this matvec precision means
+                        # the residual is floored at its truncation level
+                        # — climb the ladder instead of giving up.
+                        mv_mm = MV_MM_LADDER[
+                            MV_MM_LADDER.index(mv_mm) + 1
+                        ]
+                        barren_reseeds = 0
+                        log.info(
+                            'CG best residual floored at %.3e: escalating '
+                            'the matvec precision to %r (inexact-Krylov '
+                            'stagnation at the current truncation level).',
+                            best_resid, mv_mm,
+                        )
+                    elif barren_reseeds >= MAX_BARREN_RESEEDS:
                         log.warning(
                             'CG re-seeding no longer improves the best '
                             'residual (%d consecutive barren cycles at '

@@ -254,6 +254,74 @@ def test_cg_barren_reseeds_terminate(ds, monkeypatch, caplog):
     assert out[2] <= 5 * (it_mod.MAX_BARREN_RESEEDS + 2)
 
 
+def test_cg_matvec_precision_ladder_escapes_floor(ds, monkeypatch, caplog):
+    """A too-coarse CG matvec floors the residual (inexact-Krylov
+    stagnation — the MD22 M=3000 failure at 6 int8 slices); instead of
+    giving up, barren re-seed cycles must climb MV_MM_LADDER and the
+    solve must then truly converge. Simulated by corrupting the iterate
+    2% per chunk at the first rung only."""
+    import logging
+
+    from sgdml_tpu.solvers import iterative as it_mod
+
+    orig_jit = it_mod._pcg_chunk_jit
+
+    def rung_limited(pin_stack):
+        f = orig_jit(pin_stack)
+
+        def call(state, Fp, *a, **k):
+            x, r, z, p, rz, it, hist, n_bad = f(state, Fp, *a, **k)
+            if k.get('mm') == 'ozaki':  # coarse rung: floored iterate
+                x = x * 1.02
+            return (x, r, z, p, rz, it, hist, n_bad)
+
+        return call
+
+    monkeypatch.setattr(it_mod, '_pcg_chunk_jit', rung_limited)
+    monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 10)
+    monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 10)
+    monkeypatch.setattr(it_mod, 'RESEED_STAGNATION_ITERS', 0)
+
+    trainer = GDMLTrain()
+    np.random.seed(47)
+    task = trainer.create_task(
+        ds, 30, ds, 8, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    from sgdml_tpu.ops import descriptor as desc_ops
+    import jax.numpy as jnp
+
+    n_train, n_atoms = task['R_train'].shape[:2]
+    R = task['R_train'].reshape(n_train, -1)
+    R_desc, R_d_desc = desc_ops.descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange(desc_ops.descriptor_dim(n_atoms))[None, :]
+    y = task['F_train'].ravel()
+    y_std = float(np.std(y))
+
+    # factor_mode='ozaki' puts the matvec on the first ladder rung even
+    # on the CPU test backend.
+    solver = it_mod.Iterative(trainer, factor_mode='ozaki')
+    with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
+        out = solver.solve(
+            task, np.asarray(R_desc), np.asarray(R_d_desc), dperms,
+            y / y_std, y_std, max_seconds=300.0,
+        )
+    alphas, tol, num_iters, resid, _, _, is_conv = out
+    assert any('escalating' in r.message for r in caplog.records)
+    assert is_conv
+    # Verify true convergence with an independent exact matvec.
+    perms_key = (
+        np.ascontiguousarray(dperms.astype(np.int64)).tobytes(), dperms.shape
+    )
+    b = jnp.asarray(y / y_std)
+    r_true = b - it_mod._matvec_A(
+        jnp.asarray(-alphas), R_desc, R_d_desc, R_desc, R_d_desc,
+        float(task['sig']), float(task['lam']), n_atoms=n_atoms,
+        desc_perms_key=perms_key, use_E_cstr=False,
+    )
+    true_resid = float(np.linalg.norm(np.asarray(r_true)))
+    assert true_resid <= 1.05 * tol * float(np.linalg.norm(y / y_std))
+
+
 def test_cg_oscillation_keeps_krylov_space(ds, monkeypatch, caplog):
     """While the BEST residual keeps improving, effectiveness-monitor
     stalls (normal residual-norm oscillation) must NOT re-seed a budgeted
