@@ -69,23 +69,29 @@ RESID_REPLACE_DRIFT = 0.02
 # Cap-bounded re-seeds (k cannot grow) cost one exact matvec, unlike the
 # reference's restarts which rebuild a 1.2x-larger preconditioner — so
 # under an explicit wall-clock budget they are not counted against
-# MAX_NUM_RESTARTS. Instead each re-seed cycle must improve the best
-# residual by this relative margin; after MAX_BARREN_RESEEDS consecutive
-# cycles without one the solve is genuinely stalled and gives up.
-# (Measured at MD22 M=3000 k=15: the residual oscillates around a
-# slowly-decreasing floor and each re-seed sets a new best — 25.3, 22.0,
-# 21.1, 19.9, 19.4 over five cycles — while the old policy burned its 6
-# restarts on exactly this healthy pattern and gave up at resid 22.)
+# MAX_NUM_RESTARTS (measured at MD22 M=3000 k=15: the old policy burned
+# its 6 restarts on a healthy oscillating solve and gave up at resid 22,
+# 300x from the target).
+#
+# Budgeted stagnation policy. At the cap the residual NORM oscillates
+# (measured 2x above the best) while the A-norm error — what CG actually
+# minimizes — keeps falling, so stalls only count once the BEST residual
+# has stagnated for an adaptive window (the gaps between new bests grow
+# as convergence digs into the spectrum: the window is 2x the largest
+# gap seen, floored at RESEED_STAGNATION_ITERS). On a stagnation event
+# the solver re-seeds AT MOST ONCE per best iterate — CG is
+# deterministic, so a second re-seed from the same best_x would replay
+# the identical trajectory (measured: three 500-iteration replays pinned
+# at resid 12.067096 to 8 digits) — then escalates the matvec precision
+# (a genuinely different operator), and finally grinds uninterrupted,
+# giving up only after DEEP_STAGNATION_BUDGET_FRAC of the wall budget
+# passes without a new best.
+RESEED_STAGNATION_ITERS = 500
+DEEP_STAGNATION_BUDGET_FRAC = 0.25
+# Unbudgeted legacy knob kept for API stability (no longer consulted by
+# the budgeted path).
 RESEED_MIN_GAIN = 0.002
 MAX_BARREN_RESEEDS = 2
-# At the cap, the residual NORM oscillates (measured 2x above the best
-# at MD22 M=3000 k=15) while the A-norm error — which CG actually
-# minimizes — keeps falling: re-seeding on the oscillation discards the
-# Krylov space exactly when it is resolving the hard small-eigenvalue
-# directions. Budgeted cap re-seeds therefore only fire once the BEST
-# residual has stagnated this many iterations, not on the per-step
-# effectiveness monitor.
-RESEED_STAGNATION_ITERS = 500
 # CG matvec precision ladder. An inexact matvec stalls CG at a residual
 # floor ~ ||b|| * eps_mv * kappa (inexact-Krylov stagnation): at MD22
 # M=3000 (||b||=735, kappa ~ 1e9) the 6-slice int8 matvec (~2^-36)
@@ -1100,6 +1106,11 @@ class Iterative:
             else ('ozaki' if self._use_ozaki_factor() else 'chunk')
         )
         mv_mm = 'ozaki' if self._use_ozaki_factor() else 'native'
+        # Resume at the persisted precision rung (escalations are driven
+        # by stagnation — re-climbing the ladder on every warm start
+        # would replay the stagnation detours).
+        if str(task.get('solver_mv_mm', '')) in MV_MM_LADDER:
+            mv_mm = str(task['solver_mv_mm'])
 
         def pcg_chunk(state, Fp_cur):
             return _pcg_chunk_jit(apply_mode == 'ozaki')(
@@ -1150,9 +1161,9 @@ class Iterative:
         # must never poison the returned model or the restart seed.
         best_resid = resid if np.isfinite(resid) else np.inf
         best_x = np.asarray(state[0])
-        reseed_best = np.inf  # best residual at the last cap re-seed
-        barren_reseeds = 0
         iters_since_best = 0  # stagnation window for budgeted re-seeds
+        max_best_gap = 0  # largest iteration gap between consecutive bests
+        reseeds_since_best = 0  # at most one re-seed per best iterate
 
         while True:
             state = pcg_chunk(state, Fp)
@@ -1218,7 +1229,9 @@ class Iterative:
             if np.isfinite(resid) and resid < best_resid:
                 best_resid = resid
                 best_x = np.asarray(x)
+                max_best_gap = max(max_best_gap, iters_since_best)
                 iters_since_best = 0
+                reseeds_since_best = 0
             elif not np.isfinite(resid):
                 log.warning(
                     'CG residual is non-finite at iteration %d (numerical '
@@ -1287,7 +1300,7 @@ class Iterative:
                 self._save_checkpoint(
                     task, R_desc, R_d_desc, y_std, best_x, tol, num_iters,
                     best_resid, b_norm, inducing_pts_idxs,
-                    save_progr_callback,
+                    save_progr_callback, mv_mm=mv_mm,
                 )
 
             # Stall: strengthen the preconditioner and restart. Growth is
@@ -1320,58 +1333,77 @@ class Iterative:
             if eff <= EFF_RESTART_THRESH:
                 steps_hist = []
                 can_grow = n_inducing_pts < grow_cap
-                # Cap-bounded re-seeds under an explicit wall-clock budget
-                # are cheap (one exact matvec) and do not count against
-                # MAX_NUM_RESTARTS; instead they must keep paying — see
-                # RESEED_MIN_GAIN. Growth restarts (full factor rebuilds)
-                # and unbudgeted re-seeds keep the reference's strict
-                # 6-restart bound (reference iterative.py:729-804).
+                # Budgeted stagnation policy at the cap (see the constants
+                # block): adaptive window -> one re-seed per best iterate
+                # -> precision escalation -> uninterrupted grind, bounded
+                # by DEEP_STAGNATION_BUDGET_FRAC of the wall budget.
+                # Growth restarts and unbudgeted re-seeds keep the
+                # reference's strict 6-restart bound (reference
+                # iterative.py:729-804).
                 budgeted_reseed = not can_grow and max_seconds is not None
-                if budgeted_reseed and (
-                    iters_since_best < RESEED_STAGNATION_ITERS
-                ):
-                    # The best iterate is still improving: the
-                    # effectiveness monitor is reading normal residual-
-                    # norm oscillation, not stagnation — keep the Krylov
-                    # space (see RESEED_STAGNATION_ITERS).
-                    continue
-                if not budgeted_reseed:
-                    num_restarts += 1
-                    if num_restarts >= MAX_NUM_RESTARTS:
-                        log.warning(
-                            'CG stalled %d times; giving up with the '
-                            'current (unconverged) solution.', num_restarts,
-                        )
-                        break
-                else:
-                    if best_resid <= (1 - RESEED_MIN_GAIN) * reseed_best:
-                        barren_reseeds = 0
-                    else:
-                        barren_reseeds += 1
-                    reseed_best = best_resid
-                    if barren_reseeds >= 1 and mv_mm != MV_MM_LADDER[-1]:
-                        # A barren cycle at this matvec precision means
-                        # the residual is floored at its truncation level
-                        # — climb the ladder instead of giving up.
-                        mv_mm = MV_MM_LADDER[
-                            MV_MM_LADDER.index(mv_mm) + 1
-                        ]
-                        barren_reseeds = 0
+                if budgeted_reseed:
+                    window = max(RESEED_STAGNATION_ITERS, 2 * max_best_gap)
+                    if iters_since_best < window:
+                        # Normal residual-norm oscillation: the best is
+                        # still fresh — keep the Krylov space.
+                        continue
+                    if reseeds_since_best == 0:
+                        reseeds_since_best = 1
                         log.info(
-                            'CG best residual floored at %.3e: escalating '
-                            'the matvec precision to %r (inexact-Krylov '
-                            'stagnation at the current truncation level).',
-                            best_resid, mv_mm,
+                            'CG stalled at the inducing-point memory cap '
+                            '(k=%d); re-seeding CG from the best iterate '
+                            '(resid %.3e).', n_inducing_pts, best_resid,
                         )
-                    elif barren_reseeds >= MAX_BARREN_RESEEDS:
+                        state = init_state(best_x, Fp)
+                        resid = best_resid
+                        iters_since_best = 0
+                        continue
+                    if mv_mm != MV_MM_LADDER[-1]:
+                        # Already re-seeded from this best (a second
+                        # re-seed would replay the identical trajectory):
+                        # escalate the matvec precision — a genuinely
+                        # different operator — and re-seed into it.
+                        mv_mm = MV_MM_LADDER[MV_MM_LADDER.index(mv_mm) + 1]
+                        log.info(
+                            'CG best residual stagnant at %.3e for %d '
+                            'iterations: escalating the matvec precision '
+                            'to %r.', best_resid, iters_since_best, mv_mm,
+                        )
+                        state = init_state(best_x, Fp)
+                        resid = best_resid
+                        iters_since_best = 0
+                        reseeds_since_best = 1  # this rung's replay is used
+                        continue
+                    # Top rung, already re-seeded: grind uninterrupted.
+                    rate_now = max(
+                        (num_iters - num_iters0)
+                        / max(timeit.default_timer() - t_start, 1e-9),
+                        1e-9,
+                    )
+                    deep = max(
+                        2 * window,
+                        int(
+                            DEEP_STAGNATION_BUDGET_FRAC
+                            * max_seconds * rate_now
+                        ),
+                    )
+                    if iters_since_best >= deep:
                         log.warning(
-                            'CG re-seeding no longer improves the best '
-                            'residual (%d consecutive barren cycles at '
-                            '%.3e); giving up with the current '
-                            '(unconverged) solution.',
-                            barren_reseeds, best_resid,
+                            'CG made no progress on the best residual '
+                            '(%.3e) for %d iterations (deep-stagnation '
+                            'limit %d) at the top matvec precision; '
+                            'giving up with the current (unconverged) '
+                            'solution.', best_resid, iters_since_best, deep,
                         )
                         break
+                    continue
+                num_restarts += 1
+                if num_restarts >= MAX_NUM_RESTARTS:
+                    log.warning(
+                        'CG stalled %d times; giving up with the '
+                        'current (unconverged) solution.', num_restarts,
+                    )
+                    break
                 if can_grow:
                     n_inducing_pts = min(
                         int(np.ceil(1.2 * n_inducing_pts)), grow_cap
@@ -1401,16 +1433,15 @@ class Iterative:
                     )
                     Fp = _shard_factor(Fp)
                 else:
-                    # Memory budget exhausted: re-seed the Krylov space
-                    # from the best iterate with the same factor.
+                    # Memory budget exhausted, no wall budget: re-seed
+                    # the Krylov space from the best iterate with the
+                    # same factor, counted against the restart bound.
                     log.info(
                         'CG stalled at the inducing-point memory cap '
                         '(k=%d); re-seeding CG from the best iterate '
-                        '(resid %.3e)%s.',
+                        '(resid %.3e) (%d restarts left).',
                         n_inducing_pts, best_resid,
-                        '' if budgeted_reseed else
-                        ' (%d restarts left)'
-                        % (MAX_NUM_RESTARTS - num_restarts),
+                        MAX_NUM_RESTARTS - num_restarts,
                     )
                 state = init_state(best_x, Fp)
                 resid = best_resid
@@ -1435,7 +1466,7 @@ class Iterative:
 
     def _save_checkpoint(
         self, task, R_desc, R_d_desc, y_std, x, tol, num_iters, resid, b_norm,
-        inducing_pts_idxs, save_progr_callback,
+        inducing_pts_idxs, save_progr_callback, mv_mm=None,
     ):
         alphas_F = -np.asarray(x)
         model = self.gdml_train.create_model(
@@ -1450,6 +1481,8 @@ class Iterative:
                 'inducing_pts_idxs': np.asarray(inducing_pts_idxs),
             }
         )
+        if mv_mm is not None:
+            model['solver_mv_mm'] = mv_mm
         if 'E_train' in task:
             from ..predict import GDMLPredict
 

@@ -211,7 +211,7 @@ class GDMLTrain:
             task['alphas0_F'] = model['alphas_F']
         if 'alphas_E' in model:
             task['alphas0_E'] = model['alphas_E']
-        for key in ('solver_iters', 'inducing_pts_idxs'):
+        for key in ('solver_iters', 'inducing_pts_idxs', 'solver_mv_mm'):
             if key in model:
                 task[key] = model[key]
         return task

@@ -197,34 +197,49 @@ def test_cg_budgeted_reseeds_not_counted_against_restarts(
     with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
         out = solver.solve(
             task, np.asarray(R_desc), np.asarray(R_d_desc), dperms,
-            y / y_std, y_std, tol=0.0, max_seconds=8.0,
+            y / y_std, y_std, tol=0.0, max_seconds=12.0,
         )
     num_iters = out[2]
     reseeds = [
         r for r in caplog.records if 'memory cap' in r.message
     ]
-    # The solve re-seeded more times than MAX_NUM_RESTARTS would allow
-    # (every chunk is a forced stall) and exited on the wall budget or
-    # barren cycles, not the restart counter.
-    assert len(reseeds) > 2, len(reseeds)
+    # The solve re-seeded at least as often as MAX_NUM_RESTARTS (=2)
+    # would allow (every chunk is a forced stall), kept going past the
+    # bound, and exited on the wall budget — not the restart counter.
+    assert len(reseeds) >= 2, len(reseeds)
     assert num_iters > 2 * 5
+    # Never a restart-counter give-up (deep-stagnation give-up is fine:
+    # tol=0 is unreachable, so the solve legitimately floors eventually).
     assert not any(
         'stalled %d times' % 2 in r.message for r in caplog.records
     )
 
 
-def test_cg_barren_reseeds_terminate(ds, monkeypatch, caplog):
-    """Budgeted re-seeding must still terminate when it stops paying:
-    with the improvement bar set impossibly high every cycle is barren
-    and the solve gives up after MAX_BARREN_RESEEDS."""
+def test_cg_deep_stagnation_terminates(ds, monkeypatch, caplog):
+    """Budgeted grinding must still terminate when the solve is truly
+    stuck: with the iterate corrupted at EVERY matvec precision the best
+    residual never improves, so the solver re-seeds once, climbs the
+    whole precision ladder, and then gives up at the deep-stagnation
+    limit instead of spinning out the full wall budget."""
     import logging
 
     from sgdml_tpu.solvers import iterative as it_mod
 
+    orig_jit = it_mod._pcg_chunk_jit
+
+    def always_floored(pin_stack):
+        f = orig_jit(pin_stack)
+
+        def call(state, Fp, *a, **k):
+            x, r, z, p, rz, it, hist, n_bad = f(state, Fp, *a, **k)
+            return (x * 1.02, r, z, p, rz, it, hist, n_bad)
+
+        return call
+
+    monkeypatch.setattr(it_mod, '_pcg_chunk_jit', always_floored)
     monkeypatch.setattr(it_mod, 'CG_STEPS_HIST_LEN', 4)
     monkeypatch.setattr(it_mod, 'EFF_RESTART_THRESH', 100)
     monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
-    monkeypatch.setattr(it_mod, 'RESEED_MIN_GAIN', 1.0)  # unreachable bar
     monkeypatch.setattr(it_mod, 'RESEED_STAGNATION_ITERS', 0)
 
     trainer = GDMLTrain(max_memory=0.02)
@@ -246,12 +261,10 @@ def test_cg_barren_reseeds_terminate(ds, monkeypatch, caplog):
     with caplog.at_level(logging.INFO, logger='sgdml_tpu.solvers.iterative'):
         out = solver.solve(
             task, np.asarray(R_desc), np.asarray(R_d_desc), dperms,
-            y / y_std, y_std, tol=0.0, max_seconds=120.0,
+            y / y_std, y_std, tol=0.0, max_seconds=60.0,
         )
     assert np.isfinite(out[0]).all()
-    assert any('barren' in r.message for r in caplog.records)
-    # Terminated after MAX_BARREN_RESEEDS cycles, far below the wall budget.
-    assert out[2] <= 5 * (it_mod.MAX_BARREN_RESEEDS + 2)
+    assert any('deep-stagnation' in r.message for r in caplog.records)
 
 
 def test_cg_matvec_precision_ladder_escapes_floor(ds, monkeypatch, caplog):
@@ -448,6 +461,7 @@ def test_resume_roundtrips_through_npz(ds, models, tmp_path):
     model = dict(m_cg)
     model['solver_iters'] = 7
     model['solver_resid'] = 123.0
+    model['solver_mv_mm'] = 'ozaki8'  # persisted precision-ladder rung
     path = tmp_path / 'ckpt.npz'
     np.savez_compressed(path, **model)
 
@@ -456,6 +470,7 @@ def test_resume_roundtrips_through_npz(ds, models, tmp_path):
     resumed = trainer.create_task_from_model(loaded, ds)
     assert 'alphas0_F' in resumed
     assert int(resumed['solver_iters']) == 7
+    assert str(resumed['solver_mv_mm']) == 'ozaki8'
     np.random.seed(24)
     m2 = trainer.train(resumed, solver='cg')
     assert m2['solver_resid'] <= m2['solver_tol'] * m2['norm_y_train']
