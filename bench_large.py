@@ -52,9 +52,19 @@ def _train(ds, m_train, sig, solver, lam=1e-10, use_sym=False,
     save_cb = None
     if ckpt:
         def save_cb(model):
+            # Atomic-rename save. Retry once: an external repo cleaner
+            # can race the untracked tmp away between write and rename
+            # (measured: one such race at 00:34 killed a 4-hour run
+            # before the solver made checkpoint failures non-fatal).
             tmp = ckpt + '.tmp.npz'
-            np.savez_compressed(tmp, **model)
-            os.replace(tmp, ckpt)
+            for attempt in (0, 1):
+                try:
+                    np.savez_compressed(tmp, **model)
+                    os.replace(tmp, ckpt)
+                    return
+                except FileNotFoundError:
+                    if attempt:
+                        raise
     # Warm the backend before the timer: the first device touch pays the
     # per-process TPU claim through the axon tunnel (measured 30-140 s
     # depending on tunnel health — BENCH_NOTES round 3), which would

@@ -1483,6 +1483,20 @@ class Iterative:
         )
         if mv_mm is not None:
             model['solver_mv_mm'] = mv_mm
+        model = self._finish_checkpoint_model(model, task, R_desc, R_d_desc)
+        try:
+            save_progr_callback(model)
+        except Exception:
+            # Checkpointing is best-effort: a failed save (disk race,
+            # permissions, an external cleaner removing temp files — one
+            # killed a 4-hour MD22 run at 00:34) must never abort the
+            # solve. The next interval retries.
+            log.warning(
+                'Periodic checkpoint save failed (continuing the solve):',
+                exc_info=True,
+            )
+
+    def _finish_checkpoint_model(self, model, task, R_desc, R_d_desc):
         if 'E_train' in task:
             from ..predict import GDMLPredict
 
@@ -1491,7 +1505,7 @@ class Iterative:
             pred.set_R_d_desc(jnp.asarray(R_d_desc))
             E_pred, _ = pred.predict()
             model['c'] = float(np.mean(np.squeeze(task['E_train']) - E_pred))
-        save_progr_callback(model)
+        return model
 
     # -- memory models (reference: iterative.py:827-866) --------------------
 
