@@ -91,6 +91,25 @@ def main():
     )
     gps32, f_mae32, e_mae32 = measure(jnp.float32)
 
+    # Environment calibration: the serving path is transfer/launch-bound
+    # through the device link (BENCH_NOTES.md), so record the raw
+    # round-trip time of the SAME transfer volume as one timed predict
+    # (R up: B x 3N f32; [F | E] down: B x (3N+1) f32) through a trivial
+    # jitted program. `n_bulk / tunnel_roundtrip_s` is the throughput
+    # ceiling the link allows on THIS run — it lets a reader separate
+    # link-latency drift (observed at +-40% between rounds) from code
+    # regressions.
+    x_up = np.ones((n_bulk, 3 * n_atoms), np.float32)
+    triv = jax.jit(
+        lambda a: jnp.concatenate([a * 2.0, a[:, :1]], axis=1)
+    )
+    np.asarray(triv(jnp.asarray(x_up)))  # warm-up compile
+    rt = float('inf')
+    for _ in range(5):
+        t0 = timeit.default_timer()
+        np.asarray(triv(jnp.asarray(x_up)))
+        rt = min(rt, timeit.default_timer() - t0)
+
     # Headline: fastest config whose force MAE stays within 1e-3 of the
     # all-f64 path (f64 compute with f32 transfers qualifies; pure f32
     # compute usually does not — GDML coefficients cancel heavily).
@@ -124,6 +143,8 @@ def main():
             'gps_float64': round(gps64, 1),
             'gps_f64_compute_f32_transfer': round(gps64t32, 1),
             'gps_float32': round(gps32, 1),
+            'tunnel_roundtrip_s': round(rt, 4),
+            'tunnel_bound_gps': round(n_bulk / rt, 1),
         },
     }
     print(json.dumps(result))

@@ -207,6 +207,12 @@ def _predict_geoms(
     the device-to-host transfer — bulk serving over a host link is
     transfer-bandwidth-bound, and coordinate/force f32 rounding (~1e-7
     relative) is far below model error.
+
+    Returns ONE packed ``(B, 3N+1)`` array ``[F | E]`` (or ``(B, 1)`` when
+    ``with_forces=False``): the serving link has high per-round-trip
+    latency (~0.1 s through the measured tunnel), so fetching E and F as
+    two separate device-to-host transfers costs a full extra round trip
+    per bucket — packing makes each bucket exactly one fetch.
     """
     lat_and_inv = None if lat is None else (lat, lat_inv)
     R = R.astype(Xt.dtype)
@@ -218,7 +224,9 @@ def _predict_geoms(
     if out_dtype is not None:
         E = E.astype(out_dtype)
         F = F if F is None else F.astype(out_dtype)
-    return E, F
+    if not with_forces:
+        return E[:, None]
+    return jnp.concatenate([F, E[:, None]], axis=1)
 
 
 def _auto_batch_size() -> int:
@@ -462,8 +470,9 @@ class GDMLPredict:
                     out_dtype=out_dtype,
                 )
             )
-        E_out = np.concatenate([np.asarray(E) for E, _ in results])
-        F_out = np.concatenate([np.asarray(F) for _, F in results])
+        # One fetch per bucket: each result is the packed [F | E] array.
+        packed = np.concatenate([np.asarray(r) for r in results])
+        E_out, F_out = packed[:, -1], packed[:, :-1]
         return (E_out[:B], F_out[:B]) if return_E else (None, F_out[:B])
 
     def prepare_parallel(self, n_bulk: int = 1000, **kwargs):
