@@ -110,6 +110,53 @@ def main():
         np.asarray(triv(jnp.asarray(x_up)))
         rt = min(rt, timeit.default_timer() - t0)
 
+    # Device-only serving throughput (VERDICT r3 item #5): the headline
+    # gps swings +-40% with tunnel link state, which can mask compute
+    # regressions. Dispatch K repetitions of the SAME bucket program with
+    # the input already resident on device and no per-iteration fetch
+    # (TPU executes one program at a time per core, so the final scalar
+    # fetch syncs the whole chain); slope timing between two K values
+    # cancels the single round trip and the dispatch overheads — what
+    # remains is pure on-device compute time per bucket.
+    from sgdml_tpu import predict as predict_mod
+
+    pred_dev = GDMLPredict(
+        model, dtype=jnp.float64, batch_size=n_bulk,
+        transfer_dtype=jnp.float32,
+    )
+    Rb_dev = jnp.asarray(
+        ds['R'][:n_bulk].reshape(n_bulk, -1), dtype=jnp.float32
+    )
+
+    def _run_chain(reps):
+        out = None
+        for _ in range(reps):
+            out = predict_mod._predict_geoms(
+                Rb_dev, pred_dev.Xt, pred_dev.JA, pred_dev.alphas_E_lin,
+                None, None, pred_dev.sig, pred_dev.std, pred_dev.c,
+                n_atoms=pred_dev.n_atoms, out_dtype='float32',
+            )
+        np.asarray(out[0, 0])  # one scalar fetch syncs the chain
+
+    _run_chain(1)  # warm-up compile
+    k1, k2 = 2, 8
+    t_k1 = t_k2 = float('inf')
+    for _ in range(3):
+        t0 = timeit.default_timer()
+        _run_chain(k1)
+        t_k1 = min(t_k1, timeit.default_timer() - t0)
+        t0 = timeit.default_timer()
+        _run_chain(k2)
+        t_k2 = min(t_k2, timeit.default_timer() - t0)
+    per_rep = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
+    gps_device = n_bulk / per_rep
+    # MFU of the five-matmul contraction at f64 (the serving compute
+    # path): ~10*T*D flops per geometry over the (B, D) x (D, T=M*P)
+    # contractions, against the measured 2.0 TFLOP/s emulated-f64 matmul
+    # peak of this chip (BENCH_NOTES round 2).
+    T_tab, D_dim = pred_dev.Xt.shape
+    mfu_f64 = (10.0 * T_tab * D_dim * gps_device) / 2.0e12
+
     # Headline: fastest config whose force MAE stays within 1e-3 of the
     # all-f64 path (f64 compute with f32 transfers qualifies; pure f32
     # compute usually does not — GDML coefficients cancel heavily).
@@ -145,6 +192,8 @@ def main():
             'gps_float32': round(gps32, 1),
             'tunnel_roundtrip_s': round(rt, 4),
             'tunnel_bound_gps': round(n_bulk / rt, 1),
+            'gps_device_only': round(gps_device, 1),
+            'mfu_f64_pct': round(100.0 * mfu_f64, 2),
         },
     }
     print(json.dumps(result))

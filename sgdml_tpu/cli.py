@@ -242,7 +242,8 @@ def train(args):
 
         log.info('Training task %s', task_path)
         model = trainer.train(
-            task, solver=args.solver, save_progr_callback=save_progress
+            task, solver=args.solver, save_progr_callback=save_progress,
+            solver_max_seconds=getattr(args, 'max_seconds', None),
         )
         io.save_dict(model_path, model)
         model_paths.append(model_path)
@@ -459,6 +460,7 @@ def all_cmd(args):
         solver=args.solver,
         devices=getattr(args, 'devices', None),
         lazy=getattr(args, 'lazy', False),
+        max_seconds=getattr(args, 'max_seconds', None),
     )
     train(targs)
 
@@ -497,7 +499,10 @@ def resume(args):
         max_memory=args.max_memory, mesh=_make_mesh(getattr(args, 'devices', None))
     )
     task = trainer.create_task_from_model(model, dataset)
-    new_model = trainer.train(task, solver='cg')
+    new_model = trainer.train(
+        task, solver='cg',
+        solver_max_seconds=getattr(args, 'max_seconds', None),
+    )
     out = args.out or args.model
     io.save_dict(out, new_model)
     print('Resumed model saved to %s' % out)
@@ -596,6 +601,16 @@ def _add_common_train_args(p):
         help='SPMD over a device mesh: N = first N devices, -1 = all '
         '(default: single device)',
     )
+    _add_max_seconds_arg(p)
+
+
+def _add_max_seconds_arg(p):
+    p.add_argument(
+        '--max_seconds', '--solver_budget', type=float, default=None,
+        help='wall-clock budget (s) for the iterative solver\'s CG loop; '
+        'an unconverged best iterate is returned when it expires '
+        '(default: no budget — the stagnation policy alone decides)',
+    )
 
 
 def main(argv=None):
@@ -641,6 +656,7 @@ def main(argv=None):
     p.add_argument('--max_memory', type=float, default=None)
     p.add_argument('--solver', choices=['analytic', 'cg'], default=None)
     p.add_argument('--devices', type=int, default=None)
+    _add_max_seconds_arg(p)
 
     p = sub.add_parser('validate', help='validate model(s)')
     p.add_argument('model', help='model file or directory')
@@ -664,6 +680,7 @@ def main(argv=None):
     p.add_argument('--out', default=None)
     p.add_argument('--max_memory', type=float, default=None)
     p.add_argument('--devices', type=int, default=None)
+    _add_max_seconds_arg(p)
 
     p = sub.add_parser('show', help='inspect an npz artifact')
     p.add_argument('file')

@@ -85,13 +85,18 @@ RESID_REPLACE_DRIFT = 0.02
 # at resid 12.067096 to 8 digits) — then escalates the matvec precision
 # (a genuinely different operator), and finally grinds uninterrupted,
 # giving up only after DEEP_STAGNATION_BUDGET_FRAC of the wall budget
-# passes without a new best.
+# (or, with no budget given, DEEP_STAGNATION_ITERS_FRAC of the
+# iterations spent so far) passes without a new best. This policy is
+# unconditional at the memory cap — it is the policy that converged
+# MD22 M=3000 (BENCH_NOTES r3g); the counted-restart give-up only
+# governs preconditioner GROWTH restarts below the cap.
 RESEED_STAGNATION_ITERS = 500
 DEEP_STAGNATION_BUDGET_FRAC = 0.25
-# Unbudgeted legacy knob kept for API stability (no longer consulted by
-# the budgeted path).
-RESEED_MIN_GAIN = 0.002
-MAX_BARREN_RESEEDS = 2
+# Deep-stagnation bound when no wall budget is given: give up only after
+# this fraction of the iterations spent so far produced no new best —
+# the iteration-count analog of DEEP_STAGNATION_BUDGET_FRAC (at a steady
+# rate the two coincide), so the converging policy needs no max_seconds.
+DEEP_STAGNATION_ITERS_FRAC = 0.25
 # CG matvec precision ladder. An inexact matvec stalls CG at a residual
 # floor ~ ||b|| * eps_mv * kappa (inexact-Krylov stagnation): at MD22
 # M=3000 (||b||=735, kappa ~ 1e9) the 6-slice int8 matvec (~2^-36)
@@ -684,13 +689,17 @@ def _renorm_sliced_factor(F, n_slices: int, iters: int = 40):
 class Iterative:
     def __init__(self, gdml_train=None, callback=None, max_memory: float = 12,
                  mesh=None, factor_mode: str = 'auto',
-                 factor_slices: int | None = None):
+                 factor_slices: int | None = None,
+                 seed: int | None = None):
         import os
 
         self.gdml_train = gdml_train
         self.callback = callback
         self._max_memory = max_memory
         self.mesh = mesh
+        # Explicit solver seed; None derives one from the task's training
+        # split (md5_train) in solve() — deterministic either way.
+        self.seed = seed
         # int8 mantissa slices stored per factor element (6 bits each).
         # 8 = 48 bits below each chunk scale — the validated default.
         # 6 = 36 bits at 7/9 the stack memory: ~30% more inducing points
@@ -930,7 +939,8 @@ class Iterative:
         return F, lev_scores
 
     def _lev_scores(
-        self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
+        self, X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr,
+        rng=None,
     ):
         """Approximate ridge leverage scores from a random column subset
         (reference: iterative.py:353-399). Columns are sampled from the
@@ -938,16 +948,24 @@ class Iterative:
         m = X.shape[0]
         dim_i = 3 * n_atoms
         dim_m = dim_i * min(n_inducing_pts, 10)
-        idxs = np.sort(np.random.choice(m * dim_i, dim_m, replace=False))
+        rng = np.random.default_rng(rng)
+        idxs = np.sort(rng.choice(m * dim_i, dim_m, replace=False))
         _, lev = self._build_factor(
             X, Jc, dperms, sig, lam, idxs, n_atoms, use_E_cstr=use_E_cstr
         )
         return lev
 
     @staticmethod
-    def inducing_pts_from_lev_scores(lev_scores, n):
+    def inducing_pts_from_lev_scores(lev_scores, n, rng=None):
+        """Leverage-weighted column sample (reference: iterative.py:401).
+
+        The reference draws from the GLOBAL numpy stream, so inducing
+        sets (and hence solve trajectories) are irreproducible unless the
+        caller seeds globally; here an explicit generator (or seed) makes
+        two identical ``solve()`` calls bit-identical by default."""
+        rng = np.random.default_rng(rng)
         p = lev_scores / lev_scores.sum()
-        idxs = np.random.choice(lev_scores.size, n, replace=False, p=p)
+        idxs = rng.choice(lev_scores.size, n, replace=False, p=p)
         return np.sort(idxs)
 
     # -- main solve ----------------------------------------------------------
@@ -970,6 +988,20 @@ class Iterative:
         sig = float(np.squeeze(task['sig']))
         lam = float(np.squeeze(task['lam']))
         use_E_cstr = bool(task.get('use_E_cstr', False))
+
+        # Deterministic solver randomness (inducing-point probes/samples):
+        # seeded from the task's training-split fingerprint unless an
+        # explicit seed was given — identical tasks produce identical
+        # inducing sets and iteration traces with no global seeding.
+        if self.seed is not None:
+            rng = np.random.default_rng(self.seed)
+        else:
+            import zlib
+
+            key = '%s|%d|%.17g|%.17g' % (
+                str(task.get('md5_train', '')), n_train, sig, lam
+            )
+            rng = np.random.default_rng(zlib.crc32(key.encode()))
 
         X = jnp.asarray(R_desc)
         Jc = jnp.asarray(R_d_desc)
@@ -1077,14 +1109,15 @@ class Iterative:
             )
             t_lev = timeit.default_timer()
             lev_scores = self._lev_scores(
-                X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms, use_E_cstr
+                X, Jc, dperms, sig, lam, n_inducing_pts, n_atoms,
+                use_E_cstr, rng,
             )
             log.info(
                 'Leverage scores done in %.1f s.',
                 timeit.default_timer() - t_lev,
             )
             inducing_pts_idxs = self.inducing_pts_from_lev_scores(
-                lev_scores[: n_train * dim_i], n_inducing_pts * dim_i
+                lev_scores[: n_train * dim_i], n_inducing_pts * dim_i, rng
             )
 
         t0 = timeit.default_timer()
@@ -1333,15 +1366,18 @@ class Iterative:
             if eff <= EFF_RESTART_THRESH:
                 steps_hist = []
                 can_grow = n_inducing_pts < grow_cap
-                # Budgeted stagnation policy at the cap (see the constants
-                # block): adaptive window -> one re-seed per best iterate
-                # -> precision escalation -> uninterrupted grind, bounded
-                # by DEEP_STAGNATION_BUDGET_FRAC of the wall budget.
-                # Growth restarts and unbudgeted re-seeds keep the
-                # reference's strict 6-restart bound (reference
-                # iterative.py:729-804).
-                budgeted_reseed = not can_grow and max_seconds is not None
-                if budgeted_reseed:
+                # Stagnation policy at the cap (see the constants block):
+                # adaptive window -> one re-seed per best iterate ->
+                # precision escalation -> uninterrupted grind, bounded by
+                # DEEP_STAGNATION_BUDGET_FRAC of the wall budget (or the
+                # iteration-fraction analog when none is given). This is
+                # the DEFAULT at the memory cap — the legacy counted
+                # re-seed path provably fails exactly there (round 3,
+                # MD22 M=3000: 6 restarts burned on healthy oscillation,
+                # gave up at resid 22; the grind policy converged).
+                # Growth restarts keep the reference's strict 6-restart
+                # bound (reference iterative.py:729-804).
+                if not can_grow:
                     window = max(RESEED_STAGNATION_ITERS, 2 * max_best_gap)
                     if iters_since_best < window:
                         # Normal residual-norm oscillation: the best is
@@ -1375,18 +1411,22 @@ class Iterative:
                         reseeds_since_best = 1  # this rung's replay is used
                         continue
                     # Top rung, already re-seeded: grind uninterrupted.
-                    rate_now = max(
-                        (num_iters - num_iters0)
-                        / max(timeit.default_timer() - t_start, 1e-9),
-                        1e-9,
-                    )
-                    deep = max(
-                        2 * window,
-                        int(
+                    if max_seconds is not None:
+                        rate_now = max(
+                            (num_iters - num_iters0)
+                            / max(timeit.default_timer() - t_start, 1e-9),
+                            1e-9,
+                        )
+                        deep_iters = int(
                             DEEP_STAGNATION_BUDGET_FRAC
                             * max_seconds * rate_now
-                        ),
-                    )
+                        )
+                    else:
+                        deep_iters = int(
+                            DEEP_STAGNATION_ITERS_FRAC
+                            * (num_iters - num_iters0)
+                        )
+                    deep = max(2 * window, deep_iters)
                     if iters_since_best >= deep:
                         log.warning(
                             'CG made no progress on the best residual '
@@ -1404,45 +1444,34 @@ class Iterative:
                         'current (unconverged) solution.', num_restarts,
                     )
                     break
-                if can_grow:
-                    n_inducing_pts = min(
-                        int(np.ceil(1.2 * n_inducing_pts)), grow_cap
+                n_inducing_pts = min(
+                    int(np.ceil(1.2 * n_inducing_pts)), grow_cap
+                )
+                log.info(
+                    'CG stalled; restarting with k=%d inducing points '
+                    '(%d restarts left).',
+                    n_inducing_pts,
+                    MAX_NUM_RESTARTS - num_restarts,
+                )
+                if lev_scores is None:
+                    lev_scores = self._lev_scores(
+                        X, Jc, dperms, sig, lam, n_inducing_pts,
+                        n_atoms, use_E_cstr, rng,
                     )
-                    log.info(
-                        'CG stalled; restarting with k=%d inducing points '
-                        '(%d restarts left).',
-                        n_inducing_pts,
-                        MAX_NUM_RESTARTS - num_restarts,
-                    )
-                    if lev_scores is None:
-                        lev_scores = self._lev_scores(
-                            X, Jc, dperms, sig, lam, n_inducing_pts,
-                            n_atoms, use_E_cstr,
-                        )
-                    inducing_pts_idxs = self.inducing_pts_from_lev_scores(
-                        lev_scores[: n_train * dim_i],
-                        n_inducing_pts * dim_i,
-                    )
-                    # Free the old factor first: old + new + build
-                    # transients exceed HBM at MD17/MD22 scale (measured
-                    # ResourceExhausted on restart at k=5103, n=63000).
-                    Fp = None
-                    Fp, lev_scores = self._build_factor(
-                        X, Jc, dperms, sig, lam, inducing_pts_idxs,
-                        n_atoms, use_E_cstr,
-                    )
-                    Fp = _shard_factor(Fp)
-                else:
-                    # Memory budget exhausted, no wall budget: re-seed
-                    # the Krylov space from the best iterate with the
-                    # same factor, counted against the restart bound.
-                    log.info(
-                        'CG stalled at the inducing-point memory cap '
-                        '(k=%d); re-seeding CG from the best iterate '
-                        '(resid %.3e) (%d restarts left).',
-                        n_inducing_pts, best_resid,
-                        MAX_NUM_RESTARTS - num_restarts,
-                    )
+                inducing_pts_idxs = self.inducing_pts_from_lev_scores(
+                    lev_scores[: n_train * dim_i],
+                    n_inducing_pts * dim_i,
+                    rng,
+                )
+                # Free the old factor first: old + new + build
+                # transients exceed HBM at MD17/MD22 scale (measured
+                # ResourceExhausted on restart at k=5103, n=63000).
+                Fp = None
+                Fp, lev_scores = self._build_factor(
+                    X, Jc, dperms, sig, lam, inducing_pts_idxs,
+                    n_atoms, use_E_cstr,
+                )
+                Fp = _shard_factor(Fp)
                 state = init_state(best_x, Fp)
                 resid = best_resid
                 iters_since_best = 0  # fresh Krylov gets a full window
