@@ -940,14 +940,70 @@ def assemble_kernel_columns(
 
 
 @functools.partial(
+    jax.jit, static_argnames=('n_atoms', 'desc_perms_key', 'tile_i')
+)
+def _assemble_E_rows_jit(X, Jc, col_3n_idxs, sig, *, n_atoms,
+                         desc_perms_key, tile_i):
+    """ONLY the M energy-constraint rows of ``K[:, cols]`` (force columns):
+    ``K[E_off + i, (j, q)] = -sum_p w(u) (d^T J_t[:, q])`` (reference:
+    sgdml/train.py:235-248). The streamed E-constrained factor build uses
+    this to border the stack without ever assembling the full
+    ``(M*3N + M, k)`` column block — the (M, k) E block is tiny next to
+    the force block it replaces."""
+    desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
+        desc_perms_key[1]
+    )
+    m = X.shape[0]
+    s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
+    Xjp, Jt_col = column_tables(X, Jc, desc_perms, col_3n_idxs, n_atoms, s_perm)
+    n_cols = col_3n_idxs.shape[0]
+
+    n_ti = -(-m // tile_i)
+    m_pad = n_ti * tile_i
+    Xr = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+    out0 = jnp.zeros((m_pad, n_cols), dtype=X.dtype)
+
+    def body(ti, out):
+        i0 = ti * tile_i
+        Xi = jax.lax.dynamic_slice_in_dim(Xr, i0, tile_i, 0)
+        d = Xi[:, None, None, :] - Xjp[None, :, :, :]
+        u5 = _SQRT5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+        w = Mat52Coeffs.grad(u5, sig)  # (I, C, P)
+        cj = jnp.einsum('icpd,cpd->icp', d, Jt_col)
+        fe = -jnp.einsum('icp,icp->ic', w, cj)
+        return jax.lax.dynamic_update_slice(out, fe, (i0, 0))
+
+    return jax.lax.fori_loop(0, n_ti, body, out0)[:m]
+
+
+def assemble_kernel_E_rows(
+    R_desc, R_d_desc, desc_perms, sig, n_atoms, col_3n_idxs,
+    tile_i: int = 64,
+):
+    """The ``(M, k)`` energy-constraint row block of ``K[:, cols]`` for a
+    force-column subset (see :func:`_assemble_E_rows_jit`)."""
+    m = R_desc.shape[0]
+    return _assemble_E_rows_jit(
+        jnp.asarray(R_desc),
+        jnp.asarray(R_d_desc),
+        jnp.asarray(np.asarray(col_3n_idxs, dtype=np.int64)),
+        sig,
+        n_atoms=n_atoms,
+        desc_perms_key=_perms_key(desc_perms),
+        tile_i=int(min(tile_i, m)),
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=(
-        'n_atoms', 'desc_perms_key', 'tile_i', 'row_cnt', 'm_real'
+        'n_atoms', 'desc_perms_key', 'tile_i', 'row_cnt', 'm_real',
+        'vary_axis',
     ),
 )
 def _assemble_columns_range_jit(
     X, Jc, col_3n_idxs, sig, row_p0, *, n_atoms, desc_perms_key, tile_i,
-    row_cnt, m_real,
+    row_cnt, m_real, vary_axis=None,
 ):
     """Force rows of ``K[:, cols]`` for the point block
     ``[row_p0, row_p0 + row_cnt)`` only (the streaming Nystrom build's
@@ -972,6 +1028,11 @@ def _assemble_columns_range_jit(
 
     n_ti = row_cnt // tile_i
     K0 = jnp.zeros((row_cnt * dim_i, n_cols), dtype=X.dtype)
+    if vary_axis is not None:
+        # Inside a shard_map with a device-dependent ``row_p0`` the loop
+        # carry is device-varying; mark the initial zeros accordingly
+        # (same pattern as _assemble_columns_sharded_jit).
+        K0 = jax.lax.pcast(K0, vary_axis, to='varying')
 
     def body(ti, K):
         i0 = row_p0 + ti * tile_i

@@ -225,7 +225,8 @@ def matvec_sliced(sa, sigma, v, *, q: int = Q_BITS, transpose: bool = False):
     return out[:, 0] if was_vec else out
 
 
-def matvec_sliced_long(sa, sigma, v, *, q: int = Q_BITS, chunk: int = 16384):
+def matvec_sliced_long(sa, sigma, v, *, q: int = Q_BITS, chunk: int = 16384,
+                       vary_axis=None):
     """``A @ v`` from a global- or per-chunk-scale slice stack whose
     contraction axis exceeds the exact-int32 bound (~29k at 8 slices):
     the contraction is split into ``chunk``-wide pieces — each piece's
@@ -275,16 +276,19 @@ def matvec_sliced_long(sa, sigma, v, *, q: int = Q_BITS, chunk: int = 16384):
             ).astype(jnp.float64)
         return acc + part
 
-    acc = jax.lax.fori_loop(
-        0, n_ch, body, jnp.zeros((m, 1), dtype=jnp.float64)
-    )
+    acc0 = jnp.zeros((m, 1), dtype=jnp.float64)
+    if vary_axis is not None:
+        # Inside a shard_map over device-varying stacks the loop carry
+        # must be marked varying too (shard_map VMA typing).
+        acc0 = jax.lax.pcast(acc0, vary_axis, to='varying')
+    acc = jax.lax.fori_loop(0, n_ch, body, acc0)
     if not per_chunk:
         acc = acc * sigma.astype(jnp.float64)
     return (acc * sigv.astype(jnp.float64))[:, 0]
 
 
 def matvec_sliced_long_t(sa, sigma, w, *, q: int = Q_BITS,
-                         chunk: int = 16384):
+                         chunk: int = 16384, vary_axis=None):
     """``A^T @ w`` for the same stack layout as :func:`matvec_sliced_long`.
 
     The contraction runs over the short ``m`` axis (exact without
@@ -339,9 +343,10 @@ def matvec_sliced_long_t(sa, sigma, w, *, q: int = Q_BITS,
             ).astype(jnp.float64)
         return jax.lax.dynamic_update_slice(out, oc, (c0,))
 
-    out = jax.lax.fori_loop(
-        0, n_ch, body, jnp.zeros((n,), dtype=jnp.float64)
-    )
+    out0 = jnp.zeros((n,), dtype=jnp.float64)
+    if vary_axis is not None:
+        out0 = jax.lax.pcast(out0, vary_axis, to='varying')
+    out = jax.lax.fori_loop(0, n_ch, body, out0)
     out = out * sigv.astype(jnp.float64)
     if not per_chunk:
         out = out * sigma.astype(jnp.float64)

@@ -59,6 +59,8 @@ __all__ = [
     'assemble_kernel_sharded',
     'assemble_kernel_columns_sharded',
     'nystrom_factor_sharded',
+    'nystrom_factor_sharded_streamed',
+    'ozaki_factor_apply_sharded',
     'solve_interleaved',
     'predict_sharded',
     'shard_batch',
@@ -644,6 +646,360 @@ def nystrom_factor_sharded(C_psd_sh, cols, lam, reg_w, reg_i, mesh: Mesh):
 
     F_sh, lev = _nystrom_stage2_jit(Y_sh, L, mesh=mesh, nb=nb)
     return F_sh, lev, True
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded STREAMED int8 slice-stack factor (the single-chip capacity
+# mechanism — BENCH_NOTES round 3 — column-sharded over the mesh)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('mesh',))
+def ozaki_factor_apply_sharded(sF_sh, sigF_sh, v, *, mesh):
+    """``v - F^T (F v)`` from a column-sharded int8 slice-stack factor.
+
+    Each device holds its ``(S, k, n_loc)`` column block of the stack and
+    its per-chunk scales; the forward matvec reduces the sharded
+    contraction with one ``psum`` and the transpose matvec writes each
+    device's own output block — the two int8-MXU sliced matvecs of the
+    single-chip apply (`iterative._factor_apply_ozaki`), partitioned over
+    ICI. No f64 dot runs anywhere, so the per-device CG working set is
+    the ~``S+1`` B/elem local stack (the dense-f64 mesh apply holds
+    16 B/elem — this is what moves ``factor_bytes`` in the mesh memory
+    budget). Reference counterpart being beaten: the 100+ GB-host memory
+    formula of sgdml/solvers/iterative.py:827-866.
+    """
+    from ..ops import ozaki
+
+    axis = mesh.axis_names[0]
+
+    def step(sF_loc, sig_loc, v_loc):
+        chunk = sF_loc.shape[2] // sig_loc.shape[0]
+        w = jax.lax.psum(
+            ozaki.matvec_sliced_long(
+                sF_loc, sig_loc, v_loc, chunk=chunk, vary_axis=axis
+            ),
+            axis,
+        )
+        return v_loc - ozaki.matvec_sliced_long_t(
+            sF_loc, sig_loc, w, chunk=chunk, vary_axis=axis
+        )
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, None, axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(sF_sh, sigF_sh, v)
+
+
+@functools.partial(jax.jit, static_argnames=('mesh',))
+def _gram_apply_sharded_jit(sF_sh, sigF_sh, v, *, mesh):
+    """One power-iteration step on the REPRESENTED ``F^T F`` (slice
+    truncation included) for the sharded renormalization check — the same
+    sliced matvecs + psum the CG apply uses."""
+    from ..ops import ozaki
+
+    axis = mesh.axis_names[0]
+
+    def step(sF_loc, sig_loc, v_loc):
+        chunk = sF_loc.shape[2] // sig_loc.shape[0]
+        w = jax.lax.psum(
+            ozaki.matvec_sliced_long(
+                sF_loc, sig_loc, v_loc, chunk=chunk, vary_axis=axis
+            ),
+            axis,
+        )
+        return ozaki.matvec_sliced_long_t(
+            sF_loc, sig_loc, w, chunk=chunk, vary_axis=axis
+        )
+
+    u = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, None, axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(sF_sh, sigF_sh, v)
+    nrm = jnp.linalg.norm(u)
+    return u / jnp.maximum(nrm, 1e-300), nrm
+
+
+_OZ_SHARD_STATICS = (
+    'mesh', 'n_atoms', 'desc_perms_key', 'tile_i', 'pt_ch', 'm_real',
+    'm_loc', 'nb',
+)
+
+
+@functools.partial(jax.jit, static_argnames=_OZ_SHARD_STATICS)
+def _oz_gram_chunk_sharded_jit(
+    Xp, Jcp, cols, sig, Lw, c, *, mesh, n_atoms, desc_perms_key, tile_i,
+    pt_ch, m_real, m_loc, nb,
+):
+    """Sharded Gram-sweep step: each device assembles ITS chunk ``c`` of
+    PSD rows (row offset ``axis_index * m_loc + c * pt_ch`` — the traced
+    offset keeps every chunk on one compiled program), whitens it with
+    ``L_W^{-1}`` and contributes its Ozaki int8 Y-Gram through one psum.
+    Whitening BEFORE truncation is load-bearing (see
+    `iterative._gram_accum_y`)."""
+    from ..ops.kernel import _assemble_columns_range_jit
+    from ..ops.linalg import blocked_tri_solve
+    from ..ops import ozaki
+
+    axis = mesh.axis_names[0]
+
+    def step(Xp_, Jcp_, cols_, sig_, Lw_, c_):
+        row_p0 = jax.lax.axis_index(axis) * m_loc + c_ * pt_ch
+        C = -_assemble_columns_range_jit(
+            Xp_, Jcp_, cols_, sig_, row_p0,
+            n_atoms=n_atoms, desc_perms_key=desc_perms_key,
+            tile_i=tile_i, row_cnt=pt_ch, m_real=m_real, vary_axis=axis,
+        )
+        Y = blocked_tri_solve(Lw_, C.T, nb=nb)
+        hi = Y.astype(jnp.float32)
+        lo = (Y - hi.astype(jnp.float64)).astype(jnp.float32)
+        G = ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=8)
+        return jax.lax.psum(G, axis)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+    )(Xp, Jcp, cols, sig, Lw, c)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=_OZ_SHARD_STATICS + ('ns',),
+)
+def _oz_f_chunk_sharded_jit(
+    sF_sh, Xp, Jcp, cols, sig, Lw, L, c, *, mesh, n_atoms, desc_perms_key,
+    tile_i, pt_ch, m_real, m_loc, nb, ns,
+):
+    """Sharded F-sweep step: each device re-assembles its chunk,
+    back-solves ``F_c = L^{-1} L_W^{-1} C_c^T``, slices it to int8 and
+    writes it in place into ITS column block of the donated stack — the
+    f64 chunk dies inside this program, so neither the f64 column block
+    nor the f64 factor ever exists on ANY device (the single-chip
+    streamed build's property, per device)."""
+    from ..ops.kernel import _assemble_columns_range_jit
+    from ..ops.linalg import blocked_tri_solve
+    from ..ops import ozaki
+
+    axis = mesh.axis_names[0]
+    rows_ch = pt_ch * 3 * n_atoms
+
+    def step(sF_loc, Xp_, Jcp_, cols_, sig_, Lw_, L_, c_):
+        row_p0 = jax.lax.axis_index(axis) * m_loc + c_ * pt_ch
+        C = -_assemble_columns_range_jit(
+            Xp_, Jcp_, cols_, sig_, row_p0,
+            n_atoms=n_atoms, desc_perms_key=desc_perms_key,
+            tile_i=tile_i, row_cnt=pt_ch, m_real=m_real, vary_axis=axis,
+        )
+        F = blocked_tri_solve(
+            L_, blocked_tri_solve(Lw_, C.T, nb=nb), nb=nb
+        )
+        lev = jnp.sum(F * F, axis=0)
+        s, sg = ozaki.split_global_int8(F, n_slices=ns)
+        sF_loc = jax.lax.dynamic_update_slice(
+            sF_loc, s,
+            (jnp.int32(0), jnp.int32(0), (c_ * rows_ch).astype(jnp.int32)),
+        )
+        return sF_loc, lev, sg[None]
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, None, axis), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(None, None, axis), P(axis), P(axis)),
+    )(sF_sh, Xp, Jcp, cols, sig, Lw, L, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _zeros_stack_sharded_fn(shape, mesh):
+    """Column-sharded int8 stack allocator: the zeros are CREATED sharded
+    (allocating unsharded first would materialize the full stack on one
+    device — the exact thing the sharded build exists to avoid)."""
+    return jax.jit(
+        lambda: jnp.zeros(shape, dtype=jnp.int8),
+        out_shardings=NamedSharding(mesh, P(None, None, mesh.axis_names[0])),
+    )
+
+
+def nystrom_factor_sharded_streamed(
+    R_desc, R_d_desc, desc_perms, sig, lam, col_idxs, n_atoms, mesh: Mesh,
+    n_slices: int = 8,
+):
+    """Streamed, column-sharded int8 slice-stack Woodbury factor build.
+
+    The mesh twin of ``iterative._build_factor_streamed``: device ``d``
+    owns the contiguous (padded) training-point range ``[d*m_loc,
+    (d+1)*m_loc)`` — its column block of the factor — and streams over
+    its own assembly chunks, so the per-device high-water mark is the
+    ``n_slices`` B/elem LOCAL stack plus one assembly chunk: both the k
+    budget AND the int8 memory lever now scale with the device count.
+    Three sweeps:
+
+    1. **W sweep** (replicated, host-driven): the k x k inducing block and
+       its Cholesky ladder — O(k^3) host work, trivial next to the
+       device O(n k^2).
+    2. **Gram sweep** (sharded): per device-chunk whitened Ozaki Y-Grams,
+       reduced with one psum per chunk step.
+    3. **F sweep** (sharded): per device-chunk back-solves sliced
+       straight into each device's donated block of the int8 stack.
+
+    Returns ``((sF_sh, sigF_sh), lev_scores (n_pad,) host)`` with
+    ``sF_sh (S, k, n_pad)`` column-sharded and ``sigF_sh`` the
+    device-major per-chunk scales (sharded, ``n_ch_loc`` per device).
+    Reference counterpart: sgdml/solvers/iterative.py:208-351 on a
+    100+ GB single host.
+    """
+    import logging
+
+    from ..solvers.iterative import _largest_divisor
+
+    log = logging.getLogger(__name__)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    X = jnp.asarray(R_desc)
+    Jc = jnp.asarray(R_d_desc)
+    m = X.shape[0]
+    dim_i = 3 * n_atoms
+    n = m * dim_i
+    cols = np.asarray(col_idxs, dtype=np.int64)
+    kcols = len(cols)
+    nb = 128 if kcols % 128 == 0 else _largest_divisor(kcols, 128)
+
+    pt_ch = max(1, 8192 // dim_i)
+    n_ch_loc = -(-m // (n_dev * pt_ch))
+    m_loc = n_ch_loc * pt_ch
+    m_pad = n_dev * m_loc
+    rows_ch = pt_ch * dim_i
+    n_pad = m_pad * dim_i
+
+    Xp = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+    Jcp = jnp.pad(Jc, ((0, m_pad - m), (0, 0), (0, 0)))
+    dp = np.ascontiguousarray(np.asarray(desc_perms, dtype=np.int64))
+    perms_key = (dp.tobytes(), dp.shape)
+
+    # Same fusion-staging tile cap as assemble_kernel_columns_range.
+    itemsize = np.dtype(np.asarray(R_desc).dtype).itemsize
+    per_row = dim_i * kcols * dim_i * itemsize
+    tile_i = max(1, min(64, pt_ch, int(1.5e9 // max(per_row, 1))))
+    while pt_ch % tile_i != 0 and tile_i > 1:
+        tile_i -= 1
+
+    from ..ops.kernel import assemble_kernel_columns_range
+
+    # Sweep 1: inducing rows -> W (host; replicated global chunk grid).
+    sels = [
+        np.where((cols >= c * rows_ch) & (cols < (c + 1) * rows_ch))[0]
+        for c in range(m_pad // pt_ch)
+    ]
+    from ..solvers.iterative import _w_rows
+
+    w_max = max((s.size for s in sels), default=0)
+    W = np.empty((kcols, kcols), dtype=np.float64)
+    for c, sel in enumerate(sels):
+        if not sel.size:
+            continue
+        chunk_c = -assemble_kernel_columns_range(
+            Xp, Jcp, dp, sig, n_atoms, cols, c * pt_ch, pt_ch, m
+        )
+        idx = np.zeros(w_max, dtype=np.int32)
+        idx[: sel.size] = cols[sel] - c * rows_ch
+        W[sel] = np.asarray(_w_rows(chunk_c, jnp.asarray(idx)))[: sel.size]
+
+    statics = dict(
+        mesh=mesh, n_atoms=int(n_atoms), desc_perms_key=perms_key,
+        tile_i=int(tile_i), pt_ch=int(pt_ch), m_real=int(m),
+        m_loc=int(m_loc), nb=int(nb),
+    )
+
+    # Ladder (reference semantics; see iterative._build_factor_streamed).
+    for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
+        try:
+            Lw_h = np.linalg.cholesky(W + reg * np.eye(kcols))
+        except np.linalg.LinAlgError:
+            continue
+        if not np.all(np.isfinite(Lw_h)):
+            continue
+        Lw = jnp.asarray(Lw_h)
+        gram = jnp.zeros((kcols, kcols), dtype=jnp.float64)
+        for c in range(n_ch_loc):
+            gram = gram + _oz_gram_chunk_sharded_jit(
+                Xp, Jcp, jnp.asarray(cols), sig, Lw,
+                jnp.asarray(c, dtype=jnp.int32), **statics,
+            )
+        gram_h = np.asarray(gram)
+        del gram
+        try:
+            L_h = np.linalg.cholesky(
+                0.5 * (gram_h + gram_h.T) + (lam + reg) * np.eye(kcols)
+            )
+        except np.linalg.LinAlgError:
+            log.debug(
+                'Sharded Nystrom gram stage failed at reg=%g; re-sweeping '
+                'with stronger regularization.', reg,
+            )
+            continue
+        if np.all(np.isfinite(L_h)):
+            if reg > 0:
+                log.debug('Nystrom factor needed regularization %g.', reg)
+            break
+    else:
+        raise RuntimeError(
+            'Failed to factorize the Nystrom preconditioner despite '
+            'strong regularization. Try a larger sigma.'
+        )
+    L = jnp.asarray(L_h)
+
+    # Sweep 3: F chunks straight into each device's donated stack block.
+    ns = int(n_slices)
+    sF_sh = _zeros_stack_sharded_fn((ns, kcols, n_pad), mesh)()
+    sig_host = np.empty((n_dev, n_ch_loc), dtype=np.float32)
+    lev_host = np.empty((n_dev, n_ch_loc, rows_ch), dtype=np.float64)
+    for c in range(n_ch_loc):
+        sF_sh, lev_c, sig_c = _oz_f_chunk_sharded_jit(
+            sF_sh, Xp, Jcp, jnp.asarray(cols), sig, Lw, L,
+            jnp.asarray(c, dtype=jnp.int32), ns=ns, **statics,
+        )
+        lev_host[:, c, :] = np.asarray(lev_c).reshape(n_dev, rows_ch)
+        sig_host[:, c] = np.asarray(sig_c)
+    sigF_sh = jax.device_put(
+        jnp.asarray(sig_host.reshape(-1)),
+        NamedSharding(mesh, P(axis)),
+    )
+    lev_scores = lev_host.reshape(-1)  # device-major == padded row order
+    F = (sF_sh, sigF_sh)
+    if ns < 8:
+        F = _renorm_sliced_factor_sharded(F, ns, mesh)
+    return F, lev_scores
+
+
+def _renorm_sliced_factor_sharded(F, n_slices: int, mesh: Mesh,
+                                  iters: int = 40):
+    """Sharded twin of ``iterative._renorm_sliced_factor``: measure the
+    REPRESENTED ``||F||`` by power iteration on the same sharded sliced
+    matvecs CG uses, and shrink the chunk scales so ``I - F^T F`` stays
+    PSD (only needed below 8 slices — see the single-device docstring)."""
+    from ..ops import ozaki
+
+    sF_sh, sigF_sh = F
+    k, ncols = sF_sh.shape[1], sF_sh.shape[2]
+    rng = np.random.default_rng(12345)
+    v = jax.device_put(
+        jnp.asarray(rng.standard_normal(ncols)),
+        NamedSharding(mesh, P(mesh.axis_names[0])),
+    )
+    v = v / jnp.linalg.norm(v)
+    nrm = None
+    for _ in range(iters):
+        v, nrm = _gram_apply_sharded_jit(sF_sh, sigF_sh, v, mesh=mesh)
+    sigma_sq = float(nrm)
+    eps = max(1e-9, 8.0 * np.sqrt(float(k) * ncols)
+              * 2.0 ** (-ozaki.Q_BITS * n_slices))
+    eps = min(eps, 1e-3)
+    if sigma_sq <= (1.0 - eps) ** 2:
+        return F
+    s = (1.0 - eps) / np.sqrt(sigma_sq)
+    return sF_sh, sigF_sh * jnp.asarray(s, dtype=sigF_sh.dtype)
 
 
 # ---------------------------------------------------------------------------
