@@ -214,6 +214,7 @@ def bench_atat3000_mesh():
     m_train = int(os.environ.get('SGDML_BENCH_M', 3000))
     max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 14400))
     per_dev_gb = float(os.environ.get('SGDML_BENCH_PERDEV', 12.0))
+    ckpt = os.environ.get('SGDML_BENCH_CKPT') or None
     assert jax.devices()[0].platform == 'cpu', 'mesh bench runs on the CPU mesh'
     mesh = default_mesh(8)
 
@@ -223,11 +224,40 @@ def bench_atat3000_mesh():
 
     trainer = GDMLTrain(max_memory=per_dev_gb, mesh=mesh)
     np.random.seed(1)
-    task = trainer.create_task(
-        ds, m_train, ds, 200, sig=25.0, lam=1e-10, use_sym=False, use_E=True
-    )
+    if ckpt and os.path.isfile(ckpt):
+        # Same multi-hour-run insurance as the single-chip _train() path:
+        # resume the CG from the periodically-checkpointed unconverged
+        # model (same split, warm-started alphas).
+        model0 = dict(np.load(ckpt, allow_pickle=True))
+        task = trainer.create_task_from_model(model0, ds)
+        logging.info(
+            'Warm-starting from %s (%s CG iterations so far).',
+            ckpt, model0.get('solver_iters', '?'),
+        )
+    else:
+        task = trainer.create_task(
+            ds, m_train, ds, 200, sig=25.0, lam=1e-10, use_sym=False,
+            use_E=True,
+        )
+    save_cb = None
+    if ckpt:
+        def save_cb(model):
+            tmp = ckpt + '.tmp.npz'
+            for attempt in (0, 1):
+                try:
+                    np.savez_compressed(tmp, **model)
+                    os.replace(tmp, ckpt)
+                    return
+                except FileNotFoundError:
+                    if attempt:
+                        raise
     t0 = timeit.default_timer()
-    model = trainer.train(task, solver='cg', solver_max_seconds=max_seconds)
+    model = trainer.train(
+        task, solver='cg', solver_max_seconds=max_seconds,
+        save_progr_callback=save_cb,
+    )
+    if save_cb is not None:
+        save_cb(model)
     t_train = timeit.default_timer() - t0
     mae, scale = _force_mae(ds, task, model, n_test=300)
     out = {
