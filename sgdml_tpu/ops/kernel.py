@@ -811,24 +811,52 @@ def column_force_tile(Xi, Jci, Xjp, Jt_col, s_id, sig):
     column tables come from :func:`column_tables`. Returns
     ``(blk (I*3N, C), u5 (I, C, P), cj (I, C, P))`` — the latter two feed
     the optional energy-constraint rows.
+
+    Everything involving the descriptor difference ``d = x_i - x_c^p`` is
+    in matmul (norm-expansion) form — ``||d||^2`` via
+    ``|x_i|^2 + |x_c^p|^2 - 2 x_i.x_c^p`` and the Jacobian contractions
+    split into a self term plus one unbatched ``(C*P, D) x (D, I*3N)``
+    MXU matmul — so the ``(I, C, P, D)`` difference tensor never exists.
+    The broadcast form staged ~(I, N, C, P, 3N) temporaries that capped
+    the row tile at 1-2 rows at production column counts (the
+    assembly-time bottleneck of the streamed Nystrom build) and
+    compile-OOM'd outright at MD22 M=1000 k=35.
     """
     tile_i, dim_d = Xi.shape
     dim_i = 3 * s_id.shape[1]
+    n_cols, n_perms = Xjp.shape[:2]
     Ji = jnp.einsum('dn,idc->idnc', s_id, Jci).reshape(tile_i, dim_d, dim_i)
 
-    # d[i, c, p, :] = x_i - x_c^p
-    d = Xi[:, None, None, :] - Xjp[None, :, :, :]
-    u5 = _SQRT5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
-    b, cc = Mat52Coeffs.hess(u5, sig)  # (I, C, P)
+    Xj_flat = Xjp.reshape(n_cols * n_perms, dim_d)
+    Jt_flat = Jt_col.reshape(n_cols * n_perms, dim_d)
 
-    a = jnp.einsum('icpd,idx->icpx', d, Ji)  # J_i^T d
-    cj = jnp.einsum('icpd,cpd->icp', d, Jt_col)  # d^T J_t[:, q]
-    g = jnp.einsum('idx,cpd->icpx', Ji, Jt_col)  # (J_i^T J_t)[:, q]
-
-    blk = jnp.einsum('icp,icpx->icx', 5.0 * b * cj, a) - jnp.einsum(
-        'icp,icpx->icx', cc, g
+    # ||d||^2 and d^T J_t[:, q] by norm expansion (two thin matmuls).
+    cross = (Xi @ Xj_flat.T).reshape(tile_i, n_cols, n_perms)
+    d2 = (
+        jnp.sum(Xi * Xi, axis=-1)[:, None, None]
+        + jnp.sum(Xjp * Xjp, axis=-1)[None]
+        - 2.0 * cross
     )
-    n_cols = Xjp.shape[0]
+    u5 = _SQRT5 * jnp.sqrt(jnp.maximum(d2, 0.0))
+    b, cc = Mat52Coeffs.hess(u5, sig)  # (I, C, P)
+    cj = (Xi @ Jt_flat.T).reshape(tile_i, n_cols, n_perms) - jnp.sum(
+        Xjp * Jt_col, axis=-1
+    )[None]
+
+    # a[i,c,p,:] = J_i^T d = (J_i^T x_i) - (J_i^T x_c^p): self term plus
+    # one (C*P, D) x (D, I*3N) matmul; g = (J_i^T J_t)[:, q] likewise
+    # unbatched. Both stay in (c, p, i, x) layout so the final weighted
+    # reductions consume them without a transpose.
+    a_self = jnp.einsum('id,idx->ix', Xi, Ji)  # (I, X)
+    a_cross = jnp.einsum('cpd,idx->cpix', Xjp, Ji)
+    g = jnp.einsum('cpd,idx->cpix', Jt_col, Ji)
+
+    w1 = 5.0 * b * cj  # (I, C, P)
+    blk = (
+        jnp.einsum('icp,ix->icx', w1, a_self)
+        - jnp.einsum('icp,cpix->icx', w1, a_cross)
+        - jnp.einsum('icp,cpix->icx', cc, g)
+    )
     return blk.transpose(0, 2, 1).reshape(tile_i * dim_i, n_cols), u5, cj
 
 
@@ -916,11 +944,13 @@ def assemble_kernel_columns(
     n_atoms_i = int(n_atoms)
     n_cols = int(np.asarray(col_3n_idxs).shape[0])
     itemsize = np.dtype(np.asarray(R_desc).dtype).itemsize
-    # XLA fuses the Ji-construction einsum into the Gram contraction,
-    # staging (tile_i, N, C, P, 3N)-shaped temporaries. Cap tile_i so a
-    # few such buffers stay ~1.5 GB (measured 49 GB compile-OOM at
-    # N=60, C=540, tile_i=60 without this).
-    per_row = 3 * n_atoms_i * n_cols * 3 * n_atoms_i * itemsize
+    # Matmul-form column_force_tile stages two (C, P, I, 3N) matmul
+    # outputs plus ~3 (I, C, 3N)-shaped weighted-reduction temporaries.
+    # Cap tile_i so those stay ~1.5 GB (the broadcast form staged
+    # (tile_i, N, C, P, 3N): measured 49 GB compile-OOM at N=60, C=540,
+    # tile_i=60).
+    n_perms = int(np.asarray(desc_perms).shape[0])
+    per_row = (2 * n_perms + 3) * n_cols * 3 * n_atoms_i * itemsize
     tile_cap = max(1, int(1.5e9 // max(per_row, 1)))
     tile_i = min(tile_i, m, tile_cap)
     # Prefer a tile size that divides M exactly: padding would force a
@@ -949,14 +979,26 @@ def _assemble_E_rows_jit(X, Jc, col_3n_idxs, sig, *, n_atoms,
     sgdml/train.py:235-248). The streamed E-constrained factor build uses
     this to border the stack without ever assembling the full
     ``(M*3N + M, k)`` column block — the (M, k) E block is tiny next to
-    the force block it replaces."""
+    the force block it replaces.
+
+    Everything is in matmul (norm-expansion) form — ``||x_i - x_c^p||^2 =
+    |x_i|^2 + |x_c^p|^2 - 2 x_i.x_c^p`` and ``d^T J_t = x_i.J_t -
+    x_c^p.J_t`` — so no ``(I, C, P, D)`` difference tensor ever exists:
+    the broadcast form allocates ``tile_i * k * P * D`` f64 (23 GB at
+    k=35 inducing points, MD22 M=1000 — measured compile-OOM on a 16 GB
+    chip), the matmul form two ``(I, C*P)`` blocks via MXU matmuls."""
     desc_perms = np.frombuffer(desc_perms_key[0], dtype=np.int64).reshape(
         desc_perms_key[1]
     )
     m = X.shape[0]
     s_perm = jnp.asarray(perm_incidence(desc_perms, n_atoms), dtype=X.dtype)
     Xjp, Jt_col = column_tables(X, Jc, desc_perms, col_3n_idxs, n_atoms, s_perm)
-    n_cols = col_3n_idxs.shape[0]
+    n_cols, n_perms, dim_d = Xjp.shape
+
+    Xj_flat = Xjp.reshape(n_cols * n_perms, dim_d)
+    Jt_flat = Jt_col.reshape(n_cols * n_perms, dim_d)
+    Xj2 = jnp.sum(Xjp * Xjp, axis=-1)  # (C, P)
+    jdot = jnp.sum(Xjp * Jt_col, axis=-1)  # (C, P): x_c^p . J_t[:, q]
 
     n_ti = -(-m // tile_i)
     m_pad = n_ti * tile_i
@@ -966,11 +1008,12 @@ def _assemble_E_rows_jit(X, Jc, col_3n_idxs, sig, *, n_atoms,
     def body(ti, out):
         i0 = ti * tile_i
         Xi = jax.lax.dynamic_slice_in_dim(Xr, i0, tile_i, 0)
-        d = Xi[:, None, None, :] - Xjp[None, :, :, :]
-        u5 = _SQRT5 * jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+        cross = (Xi @ Xj_flat.T).reshape(tile_i, n_cols, n_perms)
+        d2 = jnp.sum(Xi * Xi, axis=-1)[:, None, None] + Xj2[None] - 2 * cross
+        u5 = _SQRT5 * jnp.sqrt(jnp.maximum(d2, 0.0))
         w = Mat52Coeffs.grad(u5, sig)  # (I, C, P)
-        cj = jnp.einsum('icpd,cpd->icp', d, Jt_col)
-        fe = -jnp.einsum('icp,icp->ic', w, cj)
+        cj = (Xi @ Jt_flat.T).reshape(tile_i, n_cols, n_perms) - jdot[None]
+        fe = -jnp.sum(w * cj, axis=-1)
         return jax.lax.dynamic_update_slice(out, fe, (i0, 0))
 
     return jax.lax.fori_loop(0, n_ti, body, out0)[:m]
@@ -1058,10 +1101,11 @@ def assemble_kernel_columns_range(
     n_atoms_i = int(n_atoms)
     n_cols = int(np.asarray(col_3n_idxs).shape[0])
     itemsize = np.dtype(np.asarray(X_pad).dtype).itemsize
-    # Same fusion-staging cap as assemble_kernel_columns: XLA fuses the
-    # Ji einsum into the contraction, staging (tile_i, N, C, P, 3N)
-    # temporaries.
-    per_row = 3 * n_atoms_i * n_cols * 3 * n_atoms_i * itemsize
+    # Same staging cap as assemble_kernel_columns (matmul-form
+    # column_force_tile: two (C, P, I, 3N) matmul outputs + ~3
+    # (I, C, 3N) reduction temporaries).
+    n_perms = int(np.asarray(desc_perms).shape[0])
+    per_row = (2 * n_perms + 3) * n_cols * 3 * n_atoms_i * itemsize
     tile_cap = max(1, int(1.5e9 // max(per_row, 1)))
     tile_i = min(tile_i, row_cnt, tile_cap)
     while row_cnt % tile_i != 0 and tile_i > 1:

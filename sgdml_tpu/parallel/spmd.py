@@ -554,10 +554,11 @@ def assemble_kernel_columns_sharded(
     n_cols = int(np.asarray(col_3n_idxs).shape[0])
     itemsize = np.dtype(np.asarray(R_desc).dtype).itemsize
 
-    # Same per-tile staging cap as the single-chip path (the Ji-einsum
-    # fuses into the Gram contraction; see assemble_kernel_columns).
+    # Same per-tile staging cap as the single-chip path (matmul-form
+    # column_force_tile; see assemble_kernel_columns).
     dim_i = 3 * n_atoms
-    per_row = dim_i * n_cols * dim_i * itemsize
+    n_perms = int(np.asarray(desc_perms).shape[0])
+    per_row = (2 * n_perms + 3) * n_cols * dim_i * itemsize
     tile_i = max(1, min(int(tile_i), mloc, int(1.5e9 // max(per_row, 1))))
     while mloc % tile_i != 0 and tile_i > 1:
         tile_i -= 1
@@ -878,9 +879,11 @@ def nystrom_factor_sharded_streamed(
     dp = np.ascontiguousarray(np.asarray(desc_perms, dtype=np.int64))
     perms_key = (dp.tobytes(), dp.shape)
 
-    # Same fusion-staging tile cap as assemble_kernel_columns_range.
+    # Same staging tile cap as assemble_kernel_columns_range
+    # (matmul-form column_force_tile).
     itemsize = np.dtype(np.asarray(R_desc).dtype).itemsize
-    per_row = dim_i * kcols * dim_i * itemsize
+    n_perms = int(np.asarray(desc_perms).shape[0])
+    per_row = (2 * n_perms + 3) * kcols * dim_i * itemsize
     tile_i = max(1, min(64, pt_ch, int(1.5e9 // max(per_row, 1))))
     while pt_ch % tile_i != 0 and tile_i > 1:
         tile_i -= 1

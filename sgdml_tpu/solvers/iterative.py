@@ -607,7 +607,65 @@ def _write_slices_fn():
 
 
 def _write_slices(sF, s_c, c0):
-    return _write_slices_fn()(sF, s_c, c0)
+    try:
+        return _write_slices_fn()(sF, s_c, c0)
+    except ValueError:
+        # Diagnose layout-pin violations with the actual device layouts
+        # (observed once in the wild: a stack that left the pinned
+        # allocator with major_to_minor=(1, 0, 2) despite the
+        # out_shardings pin; see _alloc_stack).
+        log.error(
+            'Slice-stack write failed. stack layout=%s chunk layout=%s',
+            getattr(getattr(sF, 'format', None), 'layout', '?'),
+            getattr(getattr(s_c, 'format', None), 'layout', '?'),
+        )
+        raise
+
+
+def _alloc_stack(shape, chunk_rows):
+    """Allocate the pinned-layout slice stack, verifying the pin took.
+
+    The row-major pin is load-bearing (see _stack_fmt): a stack in any
+    other layout either relayout-copies (2x a near-HBM-sized array) or
+    compile-OOMs in the apply programs. One in-the-wild allocation came
+    back major_to_minor=(1, 0, 2) despite the out_shardings pin
+    (MD22-class E-constrained build, 9.4 GB stack — the pin held for the
+    2.7 GB leverage-score stack minutes earlier in the same process, and
+    for round 4's 8.7 GB 6-slice M=3000 stack; unreproducible in
+    isolation). Verification is a PROBE WRITE of an all-zero chunk
+    through the pinned donating writer — the exact program whose layout
+    check failed in the wild — not a `.format` inspection, which
+    reflects the requested spec rather than the committed device layout.
+    The probe is free in effect (the stack is zeros; donation aliases in
+    place) and pre-compiles the writer for the build loop. On a layout
+    violation the allocation is retried fresh (zeros carry no data)
+    rather than crashing 40 minutes into a build."""
+    fmt = _stack_fmt()
+    sF = _zeros_stack_fn(shape)()
+    if fmt is None:
+        return sF
+    probe = jnp.zeros((shape[0], shape[1], chunk_rows), dtype=jnp.int8)
+    for attempt in range(4):
+        try:
+            out = _write_slices_fn()(sF, probe, jnp.asarray(0))
+        except ValueError:
+            log.warning(
+                'Slice-stack allocation %d violated its layout pin '
+                '(stack layout: %s); retrying with a fresh allocation.',
+                attempt,
+                getattr(getattr(sF, 'format', None), 'layout', '?'),
+            )
+            sF.delete()
+            sF = _zeros_stack_fn(shape)()
+            continue
+        probe.delete()
+        return out
+    raise RuntimeError(
+        'Slice-stack allocator repeatedly violated its row-major layout '
+        'pin; cannot build the factor copy-free. Reducing '
+        'SGDML_FACTOR_SLICES (so the slice axis no longer matches the '
+        'sublane tile) may side-step the layout assignment.'
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -977,7 +1035,7 @@ class Iterative:
         # Sweep 3: F chunks straight into the preallocated slice stack
         # (the E-row border, if any, fills the tail chunks).
         ns = self.factor_slices
-        sF = _zeros_stack_fn((ns, kcols, n_ch * rows_ch + m_e_pad))()
+        sF = _alloc_stack((ns, kcols, n_ch * rows_ch + m_e_pad), rows_ch)
         sigs, levs = [], []
         for c in range(n_ch):
             lev_c, s_c, sig_c = _f_chunk_streamed(

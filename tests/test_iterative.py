@@ -188,6 +188,14 @@ def test_cg_budgeted_reseeds_not_counted_against_restarts(
     monkeypatch.setattr(it_mod, 'MAX_NUM_RESTARTS', 2)
     monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
     monkeypatch.setattr(it_mod, 'RESEED_STAGNATION_ITERS', 0)
+    # Pin the inducing-point budget WELL below n_train: at k == n_train
+    # the Nystrom preconditioner is exact, CG reaches machine precision
+    # in a few chunks and numerical breakdown preempts the re-seed
+    # cycles this test is about.
+    monkeypatch.setattr(
+        it_mod.Iterative, 'max_n_inducing_pts',
+        staticmethod(lambda *a, **k: 3),
+    )
 
     trainer = GDMLTrain(max_memory=0.02)
     np.random.seed(44)

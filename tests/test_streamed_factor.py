@@ -150,6 +150,29 @@ def test_e_cstr_streams_and_matches_one_pass(setup):
     assert np.linalg.norm(za - zb) / np.linalg.norm(v) < 1e-7
 
 
+def test_e_rows_matmul_form_matches_one_pass(setup):
+    """assemble_kernel_E_rows (matmul/norm-expansion form — no
+    (I, C, P, D) difference tensor, the MD22 M=1000 k=35 compile-OOM)
+    matches the one-pass assembly's E block, including under a
+    nontrivial permutation group."""
+    from sgdml_tpu.ops.kernel import assemble_kernel_E_rows
+    from sgdml_tpu.train import desc_perm_table
+
+    X, Jc, dperms_id, n_atoms, m, cols = setup
+    dim_i = 3 * n_atoms
+    perms = np.stack([np.arange(n_atoms), np.array([1, 0, 2, 3, 5, 4])])
+    for dperms in (dperms_id, desc_perm_table(perms)):
+        full = np.asarray(
+            assemble_kernel_columns(
+                X, Jc, dperms, SIG, n_atoms, cols, use_E_cstr=True
+            )
+        )[m * dim_i:]
+        got = np.asarray(
+            assemble_kernel_E_rows(X, Jc, dperms, SIG, n_atoms, cols)
+        )
+        np.testing.assert_allclose(got, full, rtol=1e-10, atol=1e-11)
+
+
 def test_six_slice_factor_is_psd_and_close(setup):
     """factor_slices=6 (7 B/elem — the single-chip capacity fallback):
     the streamed build renormalizes the stack so the represented
