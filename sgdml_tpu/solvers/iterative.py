@@ -571,10 +571,7 @@ def _gram_accum_y(gram, Lw, C, *, nb):
     return gram + ozaki.ozaki_gemm_nt(hi, hi, lo_a=lo, lo_b=lo, n_slices=8)
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(2,), static_argnames=('nb', 'ns')
-)
-def _f_chunk_streamed(Lw, L, C, *, nb, ns=8):
+def _f_chunk_streamed_impl(Lw, L, C, *, nb, ns=8):
     """One streamed factor chunk: ``F_c = L^{-1} L_W^{-1} C_c^T`` via two
     triangular solves (the one-pass build's exact arithmetic), its
     leverage-score contribution, and the chunk's int8 slice stack. The
@@ -588,6 +585,30 @@ def _f_chunk_streamed(Lw, L, C, *, nb, ns=8):
     return lev, s, sg
 
 
+@functools.lru_cache(maxsize=None)
+def _f_chunk_streamed_fn():
+    """Jitted chunk producer with the int8 slice chunk's OUTPUT layout
+    pinned row-major (see _stack_fmt). Load-bearing: fed an auto-layout
+    (1, 0, 2) chunk, XLA silently OVERRIDES the chunk writer's pinned
+    output layout to (1, 0, 2) — output layout pins are soft where input
+    pins are hard-checked — so the SECOND chunk write of every build
+    failed its input check (measured at the MD22 M=1000 E-constrained
+    shape (8, 6300, 187200), where dim0=8 matching the sublane tile
+    makes (1, 0, 2) XLA's auto choice; isolation-reproduced, probe3/4).
+    With every operand row-major the writer's pin holds through repeated
+    donated writes."""
+    fmt = _stack_fmt()
+    kw = {} if fmt is None else {'out_shardings': (None, fmt, None)}
+    return jax.jit(
+        _f_chunk_streamed_impl, donate_argnums=(2,),
+        static_argnames=('nb', 'ns'), **kw,
+    )
+
+
+def _f_chunk_streamed(Lw, L, C, *, nb, ns=8):
+    return _f_chunk_streamed_fn()(Lw, L, C, nb=nb, ns=ns)
+
+
 def _write_slices_impl(sF, s_c, c0):
     """In-place write of one chunk's slice stack into the preallocated
     factor (donated: concatenating chunks at the end would transiently
@@ -598,17 +619,44 @@ def _write_slices_impl(sF, s_c, c0):
 @functools.lru_cache(maxsize=None)
 def _write_slices_fn():
     """Donating chunk write with the stack's row-major layout pinned on
-    both sides (same-layout donation aliases in place; see _stack_fmt)."""
+    both sides (same-layout donation aliases in place; see _stack_fmt).
+    The CHUNK input is pinned row-major too: an auto-layout (1, 0, 2)
+    chunk operand makes XLA override the OUTPUT pin to (1, 0, 2) —
+    output layout pins are soft — which broke the next write's
+    hard-checked input pin (see _f_chunk_streamed_fn)."""
     fmt = _stack_fmt()
     kw = {} if fmt is None else {
-        'in_shardings': (fmt, None, None), 'out_shardings': fmt,
+        'in_shardings': (fmt, fmt, None), 'out_shardings': fmt,
     }
     return jax.jit(_write_slices_impl, donate_argnums=(0,), **kw)
 
 
+def _ensure_chunk_layout(s_c):
+    """Relayout a slice chunk to the stack's row-major pin if needed.
+
+    The chunk producer pins its output row-major (_f_chunk_streamed_fn),
+    but OUTPUT layout pins are soft: in the full MD22 M=1000
+    E-constrained build the pin held in isolation yet was overridden to
+    (1, 0, 2) in the real program (whose f64 column-chunk operand has a
+    different layout history than any isolation repro). jax.device_put
+    to an explicit Format is the one layout-control path observed to
+    ALWAYS hold (probe4), and it is a no-op copy when the producer's pin
+    did hold; the ~producer-chunk-sized copy when it did not is noise
+    next to the chunk's assembly cost."""
+    fmt = _stack_fmt()
+    if fmt is None:
+        return s_c
+    l = getattr(getattr(s_c, 'format', None), 'layout', None)
+    if l is not None and tuple(l.major_to_minor) == tuple(
+        fmt.layout.major_to_minor
+    ):
+        return s_c
+    return jax.device_put(s_c, fmt)
+
+
 def _write_slices(sF, s_c, c0):
     try:
-        return _write_slices_fn()(sF, s_c, c0)
+        return _write_slices_fn()(sF, _ensure_chunk_layout(s_c), c0)
     except ValueError:
         # Diagnose layout-pin violations with the actual device layouts
         # (observed once in the wild: a stack that left the pinned
@@ -627,24 +675,26 @@ def _alloc_stack(shape, chunk_rows):
 
     The row-major pin is load-bearing (see _stack_fmt): a stack in any
     other layout either relayout-copies (2x a near-HBM-sized array) or
-    compile-OOMs in the apply programs. One in-the-wild allocation came
-    back major_to_minor=(1, 0, 2) despite the out_shardings pin
-    (MD22-class E-constrained build, 9.4 GB stack — the pin held for the
-    2.7 GB leverage-score stack minutes earlier in the same process, and
-    for round 4's 8.7 GB 6-slice M=3000 stack; unreproducible in
-    isolation). Verification is a PROBE WRITE of an all-zero chunk
+    compile-OOMs in the apply programs. Root cause of the in-the-wild
+    violations (MD22-class E-constrained builds, 9.4 GB stack): OUTPUT
+    layout pins are soft — fed an auto-layout (1, 0, 2) chunk, the
+    writer emitted a (1, 0, 2) stack despite its out_shardings pin, and
+    the next write failed its hard-checked input pin. Fixed at the
+    source (_f_chunk_streamed_fn pins the chunk row-major); this probe
+    remains as defense in depth: a PROBE WRITE of an all-zero chunk
     through the pinned donating writer — the exact program whose layout
-    check failed in the wild — not a `.format` inspection, which
-    reflects the requested spec rather than the committed device layout.
-    The probe is free in effect (the stack is zeros; donation aliases in
-    place) and pre-compiles the writer for the build loop. On a layout
-    violation the allocation is retried fresh (zeros carry no data)
-    rather than crashing 40 minutes into a build."""
+    check failed in the wild, not a `.format` inspection. The probe is
+    free in effect (the stack is zeros; donation aliases in place) and
+    pre-compiles the writer for the build loop. On a layout violation
+    the allocation is retried fresh (zeros carry no data) rather than
+    crashing 40 minutes into a build."""
     fmt = _stack_fmt()
     sF = _zeros_stack_fn(shape)()
     if fmt is None:
         return sF
-    probe = jnp.zeros((shape[0], shape[1], chunk_rows), dtype=jnp.int8)
+    # Pinned allocator (not eager zeros): the probe must match the
+    # writer's now-pinned chunk input layout.
+    probe = _zeros_stack_fn((shape[0], shape[1], chunk_rows))()
     for attempt in range(4):
         try:
             out = _write_slices_fn()(sF, probe, jnp.asarray(0))
