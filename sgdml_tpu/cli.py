@@ -244,6 +244,7 @@ def train(args):
         model = trainer.train(
             task, solver=args.solver, save_progr_callback=save_progress,
             solver_max_seconds=getattr(args, 'max_seconds', None),
+            factor_slices=getattr(args, 'factor_slices', None),
         )
         io.save_dict(model_path, model)
         model_paths.append(model_path)
@@ -461,6 +462,7 @@ def all_cmd(args):
         devices=getattr(args, 'devices', None),
         lazy=getattr(args, 'lazy', False),
         max_seconds=getattr(args, 'max_seconds', None),
+        factor_slices=getattr(args, 'factor_slices', None),
     )
     train(targs)
 
@@ -502,6 +504,7 @@ def resume(args):
     new_model = trainer.train(
         task, solver='cg',
         solver_max_seconds=getattr(args, 'max_seconds', None),
+        factor_slices=getattr(args, 'factor_slices', None),
     )
     out = args.out or args.model
     io.save_dict(out, new_model)
@@ -604,12 +607,22 @@ def _add_common_train_args(p):
     _add_max_seconds_arg(p)
 
 
+def _factor_slices_arg(v):
+    return v if v == 'auto' else int(v)
+
+
 def _add_max_seconds_arg(p):
     p.add_argument(
         '--max_seconds', '--solver_budget', type=float, default=None,
         help='wall-clock budget (s) for the iterative solver\'s CG loop; '
         'an unconverged best iterate is returned when it expires '
         '(default: no budget — the stagnation policy alone decides)',
+    )
+    p.add_argument(
+        '--factor_slices', type=_factor_slices_arg, default=None,
+        help="int8 slice count of the iterative solver's preconditioner "
+        'factor (3-10); default auto-selects the count whose memory '
+        'budget affords the largest inducing-point cap',
     )
 
 

@@ -332,6 +332,16 @@ def _pcg_chunk(
     """
 
     def M_apply(v):
+        if apply_mode == 'ozaki_mesh_bordered':
+            # The bordered apply splices its own padding between the
+            # sharded force block and the replicated E border — the
+            # tail-pad convention below would misalign the two.
+            from ..parallel.spmd import ozaki_factor_apply_sharded_bordered
+
+            out = ozaki_factor_apply_sharded_bordered(
+                Fp[0], Fp[1], Fp[2], v, mesh=mesh
+            )
+            return out.astype(v.dtype) / lam
         # Fp may be zero-padded along its column axis to a device or
         # slice-chunk multiple (padded columns contribute nothing).
         vp = jnp.pad(v, (0, _factor_ncols(Fp) - v.shape[0]))
@@ -813,18 +823,26 @@ class Iterative:
         # split (md5_train) in solve() — deterministic either way.
         self.seed = seed
         # int8 mantissa slices stored per factor element (6 bits each).
-        # 8 = 48 bits below each chunk scale — the validated default.
+        # 8 = 48 bits below each chunk scale — the validated spectrum.
         # 6 = 36 bits at 7/9 the stack memory: ~30% more inducing points
         # in the same HBM. Below 8 the represented factor's spectral norm
         # can exceed 1 by the truncation error (the exact factor's top
         # singular values sit at 1 - lam/(lam + d_i)), so the build then
         # renormalizes the stack scale to keep `I - F^T F` PSD
-        # (`_renorm_sliced_factor`). Env override: SGDML_FACTOR_SLICES.
+        # (`_renorm_sliced_factor`). Default is 'auto': solve() picks the
+        # slice count whose budget affords the LARGEST k (see
+        # `resolve_factor_slices`) — the configuration that actually
+        # converges fresh MD22-class solves. Env override:
+        # SGDML_FACTOR_SLICES.
         if factor_slices is None:
-            factor_slices = int(os.environ.get('SGDML_FACTOR_SLICES', 8))
-        if not 3 <= factor_slices <= 10:
-            raise ValueError('factor_slices must be in [3, 10]')
+            env = os.environ.get('SGDML_FACTOR_SLICES')
+            factor_slices = int(env) if env else 'auto'
+        if factor_slices != 'auto' and not 3 <= factor_slices <= 10:
+            raise ValueError("factor_slices must be in [3, 10] or 'auto'")
         self.factor_slices = factor_slices
+        # Resolution of 'auto' for the current solve (set by solve();
+        # 8-slice default covers direct _build_factor use).
+        self._auto_ns = 8
         # CG matvec matmul mode: 'ozaki' runs the prediction pass's
         # O(M^2 P D) matmuls as int8-MXU Ozaki GEMMs (6 slices — ample
         # for the 1e-4 CG tolerance, ~6x emulated-f64 matmul rate);
@@ -836,6 +854,42 @@ class Iterative:
         # (int8 dots are slow on the CPU test backend). The mesh path
         # keeps its GSPMD-partitioned f64 apply.
         self.factor_mode = factor_mode
+
+    def _ns(self) -> int:
+        """Slice count for the current solve ('auto' resolved by
+        solve(); the validated 8-slice default elsewhere)."""
+        if self.factor_slices == 'auto':
+            return self._auto_ns
+        return self.factor_slices
+
+    def resolve_factor_slices(self, n_train, n_atoms, n_dev=1):
+        """Pick the slice count whose memory budget affords the LARGEST
+        inducing-point count k; ties go to more slices (cleaner
+        spectrum, no renormalization needed at 8).
+
+        Returns ``(n_slices, k_cap)``. This encodes the round-4
+        measurement (BENCH_NOTES r4, MD22 M=3000 on a 16 GB chip) as
+        the library default: the fresh 8-slice k=11 solve extrapolated
+        to ~76k CG iterations (aborted) while the 6-slice k=15 one
+        converged in 14k — fresh solves want the largest k the budget
+        affords. The reference picks its k automatically from its
+        memory model (sgdml/solvers/iterative.py:827-866); the slice
+        axis is this implementation's extra memory lever, so it must be
+        automatic too rather than an env-var-gated override.
+        """
+        budget = self._max_memory * 1024**3
+        best_ns, best_k = 8, -1
+        for ns in (8, 6):
+            k = min(
+                n_train,
+                Iterative.max_n_inducing_pts(
+                    n_train, n_atoms, budget, n_dev=n_dev,
+                    factor_bytes=ns + 1.0, streamed=True,
+                ),
+            )
+            if k > best_k:
+                best_ns, best_k = ns, k
+        return best_ns, best_k
 
     def _use_ozaki_factor(self) -> bool:
         # Applies with or without a mesh: the slice stack is
@@ -864,20 +918,32 @@ class Iterative:
         """
         col_idxs = np.asarray(col_idxs, dtype=np.int64)
 
-        if self.mesh is not None and not use_E_cstr:
+        if self.mesh is not None and self._use_ozaki_factor():
             from ..parallel import spmd
 
-            if self._use_ozaki_factor():
-                # Column-sharded streamed int8 slice-stack build: the
-                # single-chip capacity mechanism (9 B/elem, f64 factor
-                # never exists) per device — k budget AND the int8
-                # memory lever both scale with the device count. The
-                # ladder runs inside the build.
-                F, lev = spmd.nystrom_factor_sharded_streamed(
-                    X, Jc, dperms, sig, lam, col_idxs, n_atoms,
-                    self.mesh, n_slices=self.factor_slices,
+            # Column-sharded streamed int8 slice-stack build: the
+            # single-chip capacity mechanism (9 B/elem, f64 factor
+            # never exists) per device — k budget AND the int8
+            # memory lever both scale with the device count. The
+            # ladder runs inside the build. Energy-constrained systems
+            # border the stack with a replicated dense f64 (k, M) block
+            # (tiny — exact arithmetic for the border) instead of
+            # falling back to the 16 B/elem dense factor.
+            C_E = None
+            if use_E_cstr:
+                from ..ops.kernel import assemble_kernel_E_rows
+
+                C_E = -assemble_kernel_E_rows(
+                    X, Jc, dperms, sig, n_atoms, col_idxs
                 )
-                return F, np.asarray(lev, dtype=np.float64)
+            F, lev = spmd.nystrom_factor_sharded_streamed(
+                X, Jc, dperms, sig, lam, col_idxs, n_atoms,
+                self.mesh, n_slices=self._ns(), C_E_psd=C_E,
+            )
+            return F, np.asarray(lev, dtype=np.float64)
+
+        if self.mesh is not None and not use_E_cstr:
+            from ..parallel import spmd
 
             for reg in [0.0] + list(10.0 ** np.arange(-16, 2)):
                 # PSD columns created inside the call expression so no
@@ -920,17 +986,19 @@ class Iterative:
                 lam,
                 reg,
                 reg,
-                # Mesh solves that reach this one-pass path (E-constrained)
-                # keep the dense factor: their apply is the GSPMD 'plain'
-                # mode, not the single-device slice-stack walk.
+                # E-constrained mesh solves in the dense-f64 factor mode
+                # (factor_mode='f64') reach this one-pass path: their
+                # apply is the GSPMD 'plain' mode, not the slice-stack
+                # walk. The ozaki mesh mode borders the sharded stack
+                # above instead.
                 to_slices=self._use_ozaki_factor() and self.mesh is None,
-                n_slices=self.factor_slices,
+                n_slices=self._ns(),
             )
             if ok:
                 if reg > 0:
                     log.debug('Nystrom factor needed regularization %g.', reg)
-                if isinstance(F, tuple) and self.factor_slices < 8:
-                    F = _renorm_sliced_factor(F, self.factor_slices)
+                if isinstance(F, tuple) and self._ns() < 8:
+                    F = _renorm_sliced_factor(F, self._ns())
                 return F, np.asarray(lev, dtype=np.float64)
         raise RuntimeError(
             'Failed to factorize the Nystrom preconditioner despite strong '
@@ -1084,7 +1152,7 @@ class Iterative:
 
         # Sweep 3: F chunks straight into the preallocated slice stack
         # (the E-row border, if any, fills the tail chunks).
-        ns = self.factor_slices
+        ns = self._ns()
         sF = _alloc_stack((ns, kcols, n_ch * rows_ch + m_e_pad), rows_ch)
         sigs, levs = [], []
         for c in range(n_ch):
@@ -1143,6 +1211,54 @@ class Iterative:
         p = lev_scores / lev_scores.sum()
         idxs = rng.choice(lev_scores.size, n, replace=False, p=p)
         return np.sort(idxs)
+
+    def _factor_plan(self, n_train, n_atoms, n_dev, use_E_cstr):
+        """Resolve the preconditioner-factor configuration for a solve:
+        ``(oz_apply, factor_bytes, streamed, max_n_inducing_pts)``.
+
+        Slice-stack factor: ns int8 planes + ~1 B/elem of v-slice and
+        chunk transients (9 B at the 8-slice default). On a mesh those
+        bytes are PER DEVICE (the stack is column-sharded); energy
+        constraints ride as a replicated dense f64 border on the
+        sharded stack (k*M*8 bytes — negligible), so the slice-stack
+        budget applies with or without them — ``use_E_cstr`` must NOT
+        change the plan in any ozaki mode (a regression here would
+        reinstate the old 16 B dense fallback and its k-cap for
+        energy-constrained mesh systems; pinned by
+        tests/test_parallel.py). Only the explicit factor_mode='f64'
+        routes keep the 16 B dense one-pass build. The 'auto' slice
+        count maximizes the affordable k (round-4 lesson — fresh solves
+        want the strongest preconditioner the budget affords; see
+        `resolve_factor_slices`).
+        """
+        del use_E_cstr  # documented invariant: no effect on the plan
+        oz_apply = self._use_ozaki_factor()
+        if self.factor_slices == 'auto':
+            if oz_apply:
+                self._auto_ns, auto_k = self.resolve_factor_slices(
+                    n_train, n_atoms, n_dev
+                )
+                if self._auto_ns != 8:
+                    log.info(
+                        'Auto-selected the %d-slice preconditioner factor '
+                        '(k cap %d vs %d at 8 slices).',
+                        self._auto_ns, auto_k,
+                        min(n_train, Iterative.max_n_inducing_pts(
+                            n_train, n_atoms, self._max_memory * 1024**3,
+                            n_dev=n_dev, factor_bytes=9.0, streamed=True,
+                        )),
+                    )
+            else:
+                self._auto_ns = 8
+        factor_bytes = self._ns() + 1.0 if oz_apply else 16.0
+        # Every slice-stack route is a streamed build (single-device and
+        # mesh, force-only and E-constrained).
+        streamed = oz_apply
+        max_n_ind = Iterative.max_n_inducing_pts(
+            n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev,
+            factor_bytes=factor_bytes, streamed=streamed,
+        )
+        return oz_apply, factor_bytes, streamed, max_n_ind
 
     # -- main solve ----------------------------------------------------------
 
@@ -1245,21 +1361,8 @@ class Iterative:
                 use_E_cstr=use_E_cstr,
             )
 
-        # Slice-stack factor: ns int8 planes + ~1 B/elem of v-slice and
-        # chunk transients (9 B at the 8-slice default). On a mesh those
-        # bytes are PER DEVICE (the stack is column-sharded); only the
-        # E-constrained mesh path keeps the 16 B dense-f64 apply.
-        oz_apply = self._use_ozaki_factor() and not (
-            self.mesh is not None and use_E_cstr
-        )
-        factor_bytes = self.factor_slices + 1.0 if oz_apply else 16.0
-        # Every slice-stack route is a streamed build now (single-device
-        # force-only and E-constrained, mesh force-only); only the
-        # E-constrained MESH path keeps the one-pass dense build.
-        streamed = oz_apply
-        max_n_ind = Iterative.max_n_inducing_pts(
-            n_train, n_atoms, self._max_memory * 1024**3, n_dev=n_dev,
-            factor_bytes=factor_bytes, streamed=streamed,
+        oz_apply, factor_bytes, streamed, max_n_ind = self._factor_plan(
+            n_train, n_atoms, n_dev, use_E_cstr
         )
         # Fresh solves start AT the cap (the strongest preconditioner
         # the budget affords — the converged MD22-class runs never
@@ -1321,7 +1424,12 @@ class Iterative:
         b_norm = float(np.linalg.norm(y))
 
         if self.mesh is not None:
-            apply_mode = 'ozaki_mesh' if oz_apply else 'plain'
+            if oz_apply:
+                apply_mode = (
+                    'ozaki_mesh_bordered' if use_E_cstr else 'ozaki_mesh'
+                )
+            else:
+                apply_mode = 'plain'
         else:
             apply_mode = 'ozaki' if oz_apply else 'chunk'
         mv_mm = 'ozaki' if self._use_ozaki_factor() else 'native'
@@ -1340,10 +1448,23 @@ class Iterative:
                 chunk_iters=CG_CHUNK_ITERS,
                 apply_mode=apply_mode,
                 mm=mv_mm,
-                mesh=self.mesh if apply_mode == 'ozaki_mesh' else None,
+                mesh=(
+                    self.mesh
+                    if apply_mode in ('ozaki_mesh', 'ozaki_mesh_bordered')
+                    else None
+                ),
             )
 
         def precond_z(r, Fp_cur):
+            if apply_mode == 'ozaki_mesh_bordered':
+                from ..parallel.spmd import (
+                    ozaki_factor_apply_sharded_bordered,
+                )
+
+                z0 = ozaki_factor_apply_sharded_bordered(
+                    Fp_cur[0], Fp_cur[1], Fp_cur[2], r, mesh=self.mesh
+                )
+                return z0.astype(r.dtype) / lam
             rp = jnp.pad(r, (0, _factor_ncols(Fp_cur) - r.shape[0]))
             if apply_mode == 'ozaki':
                 z0 = _init_z_ozaki(Fp_cur[0], Fp_cur[1], rp)

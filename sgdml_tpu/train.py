@@ -287,7 +287,7 @@ class GDMLTrain:
     # ------------------------------------------------------------------
 
     def train(self, task, solver=None, save_progr_callback=None, callback=None,
-              solver_max_seconds=None):
+              solver_max_seconds=None, factor_slices=None):
         """Train a model from a task dict.
 
         Solver selection follows the reference's memory heuristic
@@ -296,6 +296,10 @@ class GDMLTrain:
         ``solver='analytic'`` or ``'cg'`` to override.
         ``solver_max_seconds`` bounds the iterative solver's CG wall clock;
         an unconverged model is returned (and flagged) when it trips.
+        ``factor_slices`` pins the iterative preconditioner's int8 slice
+        count (3-10, or 'auto'); the default auto-selects the count whose
+        budget affords the largest inducing-point cap
+        (``Iterative.resolve_factor_slices``).
         """
         from .utils.profiling import PhaseTimer
 
@@ -360,7 +364,7 @@ class GDMLTrain:
             log.info('Using iterative solver (Nystrom-preconditioned CG).')
             iterative = Iterative(
                 self, callback=callback, max_memory=self._max_memory,
-                mesh=self.mesh,
+                mesh=self.mesh, factor_slices=factor_slices,
             )
             with timer.phase('solve (iterative: Nystrom-pCG)'):
                 (

@@ -658,3 +658,61 @@ def test_cg_ozaki_factor_matches_f64(ds):
     for mode in ('ozaki', 'ozaki6'):
         rel = np.linalg.norm(results[mode] - results['f64']) / denom
         assert rel < 1e-2, (mode, rel)
+
+
+def test_auto_factor_slices_picks_largest_k(monkeypatch):
+    """The default ('auto') slice count must be the one whose memory
+    budget affords the LARGEST inducing-point cap — the round-4 lesson
+    (BENCH_NOTES r4: fresh 8-slice k=11 at MD22 M=3000 extrapolated to
+    ~76k CG iterations while 6-slice k=15 converged in 14k) encoded as
+    what `sgdml-tpu train` actually runs, with no env vars."""
+    from sgdml_tpu.solvers.iterative import Iterative
+
+    monkeypatch.delenv('SGDML_FACTOR_SLICES', raising=False)
+    it = Iterative(max_memory=15.5)
+    assert it.factor_slices == 'auto'
+
+    # MD22 AT-AT M=3000 on a 16 GB chip: 6 slices afford k=15 where 8
+    # afford only 11 — auto must pick the measured-converging config.
+    ns, k = it.resolve_factor_slices(3000, 60)
+    assert (ns, k) == (6, 15)
+    assert Iterative.max_n_inducing_pts(
+        3000, 60, 15.5 * 1024**3, factor_bytes=9.0, streamed=True
+    ) == 11
+
+    # k-tie (both cap at n_train): prefer the clean 8-slice spectrum.
+    ns_s, k_s = it.resolve_factor_slices(24, 5)
+    assert (ns_s, k_s) == (8, 24)
+
+    # Env override still wins over auto.
+    monkeypatch.setenv('SGDML_FACTOR_SLICES', '6')
+    assert Iterative(max_memory=15.5).factor_slices == 6
+    # Explicit kwarg wins over everything.
+    assert Iterative(max_memory=15.5, factor_slices=8).factor_slices == 8
+
+
+def test_auto_factor_slices_resolved_in_solve(ds, monkeypatch):
+    """A fresh solve with the 'auto' default must resolve the slice
+    count through `resolve_factor_slices` (tie at small scale -> 8) and
+    converge exactly like the explicit-8 configuration."""
+    from sgdml_tpu.solvers.iterative import Iterative
+    from sgdml_tpu.ops.descriptor import descriptor_batch
+    import jax.numpy as jnp
+
+    monkeypatch.delenv('SGDML_FACTOR_SLICES', raising=False)
+    trainer = GDMLTrain()
+    np.random.seed(43)
+    task = trainer.create_task(
+        ds, 40, ds, 20, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    n_atoms = ds['R'].shape[1]
+    R = task['R_train'].reshape(40, -1)
+    X, Jc = descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = np.arange((n_atoms * (n_atoms - 1)) // 2)[None, :]
+    y = task['F_train'].reshape(-1) / np.std(task['F_train'])
+
+    solver = Iterative(trainer, max_memory=12, factor_mode='ozaki')
+    assert solver.factor_slices == 'auto'
+    out = solver.solve(task, np.asarray(X), np.asarray(Jc), dperms, y, 1.0)
+    assert out[6]  # converged
+    assert solver._ns() == 8  # tie resolved to the 8-slice default
