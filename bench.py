@@ -138,24 +138,58 @@ def main():
             )
         np.asarray(out[0, 0])  # one scalar fetch syncs the chain
 
-    _run_chain(1)  # warm-up compile
-    k1, k2 = 2, 8
-    t_k1 = t_k2 = float('inf')
-    for _ in range(3):
-        t0 = timeit.default_timer()
-        _run_chain(k1)
-        t_k1 = min(t_k1, timeit.default_timer() - t0)
-        t0 = timeit.default_timer()
-        _run_chain(k2)
-        t_k2 = min(t_k2, timeit.default_timer() - t0)
-    per_rep = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
-    gps_device = n_bulk / per_rep
+    def slope_time(run_chain, batch):
+        """Per-batch device time from slope timing between two chain
+        lengths (cancels the single fetch round trip + dispatch)."""
+        run_chain(1)  # warm-up compile
+        k1, k2 = 2, 8
+        t_k1 = t_k2 = float('inf')
+        for _ in range(3):
+            t0 = timeit.default_timer()
+            run_chain(k1)
+            t_k1 = min(t_k1, timeit.default_timer() - t0)
+            t0 = timeit.default_timer()
+            run_chain(k2)
+            t_k2 = min(t_k2, timeit.default_timer() - t0)
+        per_rep = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
+        return batch / per_rep
+
+    gps_device = slope_time(_run_chain, n_bulk)
     # MFU of the five-matmul contraction at f64 (the serving compute
     # path): ~10*T*D flops per geometry over the (B, D) x (D, T=M*P)
     # contractions, against the measured 2.0 TFLOP/s emulated-f64 matmul
     # peak of this chip (BENCH_NOTES round 2).
     T_tab, D_dim = pred_dev.Xt.shape
     mfu_f64 = (10.0 * T_tab * D_dim * gps_device) / 2.0e12
+
+    # MD22-shape device-only serving (VERDICT r4 item #4): the table
+    # shape where serving is COMPUTE-bound (N=60, T=M*P=3000, D=1770,
+    # B=512 — vs the (B, 36)-thin ethanol contraction whose MFU is
+    # launch/shape-limited). Synthetic descriptor-scale tables: the
+    # contraction cost is value-independent, so this measures the real
+    # MD22-class compute path without a 3000-point training run inside
+    # the driver's bench budget. Driver-captured here so the 42.6%-MFU
+    # claim (BENCH_NOTES r4) regresses visibly round-over-round.
+    n_at22, T22, B22 = 60, 3000, 512
+    D22 = n_at22 * (n_at22 - 1) // 2
+    rng22 = np.random.default_rng(7)
+    R22 = jnp.asarray(
+        rng22.normal(size=(B22, 3 * n_at22)) * 3.0, dtype=jnp.float32
+    )
+    Xt22 = jnp.asarray(0.3 + rng22.random((T22, D22)))
+    JA22 = jnp.asarray(rng22.normal(size=(T22, D22)) * 1e-2)
+
+    def _run_chain_md22(reps):
+        out = None
+        for _ in range(reps):
+            out = predict_mod._predict_geoms(
+                R22, Xt22, JA22, None, None, None, 10.0, 1.0, 0.0,
+                n_atoms=n_at22, out_dtype='float32',
+            )
+        np.asarray(out[0, 0])
+
+    gps_device_md22 = slope_time(_run_chain_md22, B22)
+    mfu_md22 = (10.0 * T22 * D22 * gps_device_md22) / 2.0e12
 
     # Headline: fastest config whose force MAE stays within 1e-3 of the
     # all-f64 path (f64 compute with f32 transfers qualifies; pure f32
@@ -192,8 +226,21 @@ def main():
             'gps_float32': round(gps32, 1),
             'tunnel_roundtrip_s': round(rt, 4),
             'tunnel_bound_gps': round(n_bulk / rt, 1),
+            # Achieved/ceiling: the headline gps relative to what the
+            # link allows on THIS run — the round-over-round STABLE
+            # quantity (the raw gps swings +-40% with tunnel state).
+            # Can exceed 1: the ceiling is a single trivial-program
+            # round trip (min of 5) and the real predict overlaps its
+            # up-transfer with compute, so a slow calibration moment
+            # on a jittery link undershoots the true ceiling.
+            'achieved_over_ceiling': round(gps / (n_bulk / rt), 3),
             'gps_device_only': round(gps_device, 1),
             'mfu_f64_pct': round(100.0 * mfu_f64, 2),
+            # MD22-shape (N=60, T=3000, D=1770, B=512) device-only
+            # serving: the compute-bound regime where MFU is the honest
+            # efficiency number.
+            'gps_device_only_md22': round(gps_device_md22, 1),
+            'mfu_md22_pct': round(100.0 * mfu_md22, 2),
         },
     }
     print(json.dumps(result))

@@ -277,6 +277,97 @@ def bench_atat3000_mesh():
     print(json.dumps(out))
 
 
+def bench_mesh_ozaki():
+    """Mid-scale END-TO-END mesh-ozaki solve (VERDICT r4 item #3): the
+    column-sharded int8 slice-stack factor + int8 CG matvecs, converged
+    on the 8-device virtual CPU mesh at a scale meaningfully above the
+    m=19 dryrun — so the mesh x int8 capacity table rests on a real
+    multi-device convergence, not only unit parity + budget arithmetic.
+    (int8 matvecs are EMULATED on CPU — wall time here is not a TPU
+    rate; the point is end-to-end correctness of the full sharded
+    slice-stack route at scale.)
+
+    Overridables: SGDML_BENCH_N_ATOMS (default 12), SGDML_BENCH_M
+    (default 150), SGDML_BENCH_PERDEV (per-device GB, default 2.2 —
+    small enough that k < M and the preconditioner is genuinely
+    low-rank), SGDML_BENCH_MAXS (default 7200).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sgdml_tpu.datasets.synthetic import generate_md_dataset
+    from sgdml_tpu.ops import descriptor as d_ops
+    from sgdml_tpu.parallel.mesh import default_mesh
+    from sgdml_tpu.solvers.iterative import Iterative
+    from sgdml_tpu.train import GDMLTrain, desc_perm_table
+
+    n_atoms = int(os.environ.get('SGDML_BENCH_N_ATOMS', 12))
+    m_train = int(os.environ.get('SGDML_BENCH_M', 150))
+    per_dev_gb = float(os.environ.get('SGDML_BENCH_PERDEV', 2.2))
+    max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 7200))
+    assert jax.devices()[0].platform == 'cpu'
+    mesh = default_mesh(8)
+
+    ds = generate_md_dataset(
+        n_atoms=n_atoms, n_frames=m_train + 400, seed=21
+    )
+    trainer = GDMLTrain(max_memory=per_dev_gb, mesh=mesh)
+    np.random.seed(1)
+    task = trainer.create_task(
+        ds, m_train, ds, 100, sig=12.0, lam=1e-10, use_sym=False,
+        use_E=True,
+    )
+    R = task['R_train'].reshape(m_train, -1)
+    X, Jc = d_ops.descriptor_batch(jnp.asarray(R), n_atoms)
+    dperms = desc_perm_table(task['perms'])
+    y = task['F_train'].ravel()
+    y_std = float(np.std(y))
+
+    # factor_mode='ozaki' forces the slice-stack route on the CPU mesh
+    # (the 'auto' gate picks it only on TPU, where int8 is native).
+    solver = Iterative(
+        trainer, max_memory=per_dev_gb, mesh=mesh, factor_mode='ozaki'
+    )
+    t0 = timeit.default_timer()
+    alphas, tol, iters, resid, rmse, idxs, is_conv = solver.solve(
+        task, np.asarray(X), np.asarray(Jc), dperms, y / y_std, y_std,
+        max_seconds=max_seconds,
+    )
+    t_train = timeit.default_timer() - t0
+
+    model = trainer.create_model(task, 'cg', X, Jc, y_std, alphas)
+    model['solver_tol'], model['solver_resid'] = tol, resid
+    model['norm_y_train'] = float(np.linalg.norm(y / y_std))
+    model['solver_iters'] = iters
+    model['inducing_pts_idxs'] = np.asarray(idxs)
+    if 'E_train' in task:
+        from sgdml_tpu.predict import GDMLPredict
+
+        pred = GDMLPredict(model)
+        pred.set_R_desc(X)
+        pred.set_R_d_desc(Jc)
+        E_pred, _ = pred.predict()
+        model['c'] = float(
+            np.mean(np.squeeze(task['E_train']) - E_pred)
+        )
+    mae, scale = _force_mae(ds, task, model, n_test=200)
+    out = {
+        'config': 'mesh-ozaki end-to-end N=%d M=%d, 8-device mesh '
+        '(column-sharded int8 slice-stack factor + int8 CG matvec)'
+        % (n_atoms, m_train),
+        'train_s': round(t_train, 2),
+        'cg_iters': int(iters),
+        'k_inducing_pts': int(len(idxs) // (3 * n_atoms)),
+        'n_slices': int(solver._ns()),
+        'converged': bool(is_conv),
+        'force_mae': round(mae, 5),
+        'force_scale': round(scale, 4),
+    }
+    print(json.dumps(out))
+
+
 def bench_sym():
     from sgdml_tpu.datasets.synthetic import generate_symmetric_md_dataset
     from sgdml_tpu import perm as perm_mod
@@ -356,6 +447,7 @@ if __name__ == '__main__':
         'atat': bench_atat,
         'atat3000': bench_atat3000,
         'atat3000_mesh': bench_atat3000_mesh,
+        'ozaki_mesh': bench_mesh_ozaki,
         'sym': bench_sym,
         'md': bench_md,
     }[which]()
