@@ -287,10 +287,14 @@ def bench_mesh_ozaki():
     rate; the point is end-to-end correctness of the full sharded
     slice-stack route at scale.)
 
-    Overridables: SGDML_BENCH_N_ATOMS (default 12), SGDML_BENCH_M
-    (default 150), SGDML_BENCH_PERDEV (per-device GB, default 2.2 —
-    small enough that k < M and the preconditioner is genuinely
-    low-rank), SGDML_BENCH_MAXS (default 7200).
+    Overridables: SGDML_BENCH_N_ATOMS (default 24), SGDML_BENCH_M
+    (default 300), SGDML_BENCH_PERDEV (per-device GB, default 2.2).
+    The defaults give n = 21,600 unknowns and a k = 48 cap (verified
+    against ``max_n_inducing_pts`` at 9 B/elem) — k/M = 0.16, so the
+    preconditioner is genuinely low-rank and the int8 matvec path
+    carries the solve. (At the originally-drafted N=12/M=150 shape the
+    same budget affords k = M: a full-rank factor that converges in a
+    handful of iterations and tests nothing.)
     """
     import os
 
@@ -303,8 +307,8 @@ def bench_mesh_ozaki():
     from sgdml_tpu.solvers.iterative import Iterative
     from sgdml_tpu.train import GDMLTrain, desc_perm_table
 
-    n_atoms = int(os.environ.get('SGDML_BENCH_N_ATOMS', 12))
-    m_train = int(os.environ.get('SGDML_BENCH_M', 150))
+    n_atoms = int(os.environ.get('SGDML_BENCH_N_ATOMS', 24))
+    m_train = int(os.environ.get('SGDML_BENCH_M', 300))
     per_dev_gb = float(os.environ.get('SGDML_BENCH_PERDEV', 2.2))
     max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 7200))
     assert jax.devices()[0].platform == 'cpu'
