@@ -288,15 +288,25 @@ def bench_mesh_ozaki():
     slice-stack route at scale.)
 
     Overridables: SGDML_BENCH_N_ATOMS (default 24), SGDML_BENCH_M
-    (default 300), SGDML_BENCH_PERDEV (per-device GB, default 2.2).
-    The defaults give n = 21,600 unknowns and a k = 48 cap (verified
-    against ``max_n_inducing_pts`` at 9 B/elem) — k/M = 0.16, so the
+    (default 300), SGDML_BENCH_PERDEV (per-device GB, default 2.0).
+    The defaults give n = 21,600 unknowns and a k = 34 cap under the
+    auto slice-count rule (6 slices; verified against
+    ``max_n_inducing_pts`` at 7 B/elem) — k/M = 0.11, so the
     preconditioner is genuinely low-rank and the int8 matvec path
-    carries the solve. (At the originally-drafted N=12/M=150 shape the
-    same budget affords k = M: a full-rank factor that converges in a
-    handful of iterations and tests nothing.)
+    carries the solve. (At the originally-drafted N=12/M=150 shape a
+    2.2 GB budget affords k = M: a full-rank factor that converges in
+    a handful of iterations and tests nothing.)
+
+    Sets SGDML_MESH_PT_CH=8 (overridable): XLA's in-process CPU
+    communicator hard-aborts collectives whose participants don't all
+    join within 40 s, and the 8 virtual devices' pre-psum factor-build
+    segments serialize through this host's single core — small streamed
+    chunks keep each segment well inside the window. Real-TPU meshes
+    don't need the knob.
     """
     import os
+
+    os.environ.setdefault('SGDML_MESH_PT_CH', '8')
 
     import jax
     import jax.numpy as jnp
@@ -309,7 +319,7 @@ def bench_mesh_ozaki():
 
     n_atoms = int(os.environ.get('SGDML_BENCH_N_ATOMS', 24))
     m_train = int(os.environ.get('SGDML_BENCH_M', 300))
-    per_dev_gb = float(os.environ.get('SGDML_BENCH_PERDEV', 2.2))
+    per_dev_gb = float(os.environ.get('SGDML_BENCH_PERDEV', 2.0))
     max_seconds = float(os.environ.get('SGDML_BENCH_MAXS', 7200))
     assert jax.devices()[0].platform == 'cpu'
     mesh = default_mesh(8)
@@ -439,9 +449,23 @@ if __name__ == '__main__':
         if which.endswith('_mesh'):
             flags = os.environ.get('XLA_FLAGS', '')
             if '--xla_force_host_platform_device_count' not in flags:
-                os.environ['XLA_FLAGS'] = (
+                flags = (
                     flags + ' --xla_force_host_platform_device_count=8'
-                ).strip()
+                )
+            # The virtual devices' compute segments serialize through
+            # this 1-core host's single Eigen worker, so collective
+            # participants can straggle far past the 40 s default before
+            # joining; raise the in-process communicator's hard-abort
+            # window (an emulation artifact — real TPU collectives ride
+            # ICI with per-chip cores).
+            if '--xla_cpu_collective_call_terminate_timeout' not in flags:
+                flags += (
+                    ' --xla_cpu_collective_call_terminate_timeout_seconds'
+                    '=3600'
+                    ' --xla_cpu_collective_call_warn_stuck_timeout_seconds'
+                    '=300'
+                )
+            os.environ['XLA_FLAGS'] = flags.strip()
         import jax
 
         jax.config.update('jax_platforms', 'cpu')

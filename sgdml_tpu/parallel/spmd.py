@@ -33,6 +33,7 @@ Shardings (1-D mesh, axis ``dev``):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -935,6 +936,16 @@ def nystrom_factor_sharded_streamed(
     nb = 128 if kcols % 128 == 0 else _largest_divisor(kcols, 128)
 
     pt_ch = max(1, 8192 // dim_i)
+    # Never pad the point axis past one chunk per device: at small m the
+    # fixed 8192-row chunk would pad m up to n_dev * pt_ch points (3x
+    # wasted assembly work at mesh-bench scale) with no streaming gain.
+    pt_ch = min(pt_ch, -(-m // n_dev))
+    # CPU-emulation knob: XLA's in-process communicator hard-aborts any
+    # collective whose participants don't all join within 40 s
+    # (rendezvous.cc), and the virtual mesh's device threads share one
+    # host core, so the per-chunk pre-psum compute segments must be kept
+    # tiny there. No real-TPU configuration needs this override.
+    pt_ch = max(1, int(os.environ.get('SGDML_MESH_PT_CH', pt_ch)))
     n_ch_loc = -(-m // (n_dev * pt_ch))
     m_loc = n_ch_loc * pt_ch
     m_pad = n_dev * m_loc
