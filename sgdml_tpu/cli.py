@@ -213,6 +213,15 @@ def train(args):
     lazy = bool(getattr(args, 'lazy', False))
     prev_valid_rmse = None
     model_paths = []
+    # Cross-sigma warm starts: tasks produced by `create` share one
+    # training split, and the solution vector moves smoothly with sigma,
+    # so each iterative solve warm-starts from the previous sigma's
+    # coefficients. Measured 1.06x fewer total CG iterations over a
+    # converging 5-sigma grid (BENCH_NOTES r5) — a small free win, never
+    # worse than cold (the solver falls back to a cold start on any
+    # split/shape mismatch). The reference re-solves every sigma from
+    # scratch (sgdml/cli.py:1078-1136).
+    warm = None
     for task_path in tasks:
         task = io.load_dict(task_path)
         model_path = os.path.join(
@@ -241,11 +250,32 @@ def train(args):
         io.save_dict(task_path, task)
 
         log.info('Training task %s', task_path)
+        if (
+            warm is not None
+            and task.get('md5_train') == warm['md5']
+            and np.array_equal(task.get('idxs_train'), warm['idxs'])
+            and bool(task.get('use_E_cstr', False)) == (warm['E'] is not None)
+        ):
+            # Set AFTER the tried_training save above, so warm-start
+            # coefficients never bloat the on-disk task file.
+            task['alphas0_F'] = warm['F']
+            if warm['E'] is not None:
+                task['alphas0_E'] = warm['E']
+            log.info(
+                'Warm-starting from the previous sigma\'s coefficients.'
+            )
         model = trainer.train(
             task, solver=args.solver, save_progr_callback=save_progress,
             solver_max_seconds=getattr(args, 'max_seconds', None),
             factor_slices=getattr(args, 'factor_slices', None),
         )
+        if 'alphas_F' in model:
+            warm = {
+                'md5': task.get('md5_train'),
+                'idxs': task.get('idxs_train'),
+                'F': model['alphas_F'],
+                'E': model.get('alphas_E'),
+            }
         io.save_dict(model_path, model)
         model_paths.append(model_path)
         unconv = model_path.replace('model-', '_unconv_model-')

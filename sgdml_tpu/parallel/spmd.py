@@ -871,6 +871,24 @@ def _border_tri_solve_jit(L, B, *, nb):
     return blocked_tri_solve(L, B, nb=nb)
 
 
+def _dispatch_sync(mesh: Mesh) -> bool:
+    """True when collective programs on this mesh must be dispatched one
+    at a time (host-CPU emulation only).
+
+    XLA's in-process CPU communicator parks each waiting collective
+    participant on a shared Eigen worker thread; with several
+    executions in flight (JAX dispatch is async), the waiters of
+    later-dispatched programs can occupy every worker and starve the
+    thread that still has to run an earlier program's pre-collective
+    compute segment — a permanent rendezvous deadlock ("Expected 8
+    threads to join..., only 7 arrived", rendezvous.cc hard-abort).
+    Observed for real on the 1-core virtual 8-device mesh the moment a
+    host loop dispatched >1 chunk program without an intervening fetch.
+    Real TPU meshes (per-chip cores, ICI collectives) never need this;
+    the sync is a no-op there by this gate."""
+    return mesh.devices.flat[0].platform == 'cpu'
+
+
 @functools.lru_cache(maxsize=None)
 def _zeros_stack_sharded_fn(shape, mesh):
     """Column-sharded int8 stack allocator: the zeros are CREATED sharded
@@ -1002,12 +1020,15 @@ def nystrom_factor_sharded_streamed(
         if not np.all(np.isfinite(Lw_h)):
             continue
         Lw = jnp.asarray(Lw_h)
+        sync = _dispatch_sync(mesh)
         gram = jnp.zeros((kcols, kcols), dtype=jnp.float64)
         for c in range(n_ch_loc):
             gram = gram + _oz_gram_chunk_sharded_jit(
                 Xp, Jcp, jnp.asarray(cols), sig, Lw,
                 jnp.asarray(c, dtype=jnp.int32), **statics,
             )
+            if sync:
+                jax.block_until_ready(gram)
         Y_E = None
         if C_E_psd is not None:
             # Exact f64 whitened Gram for the tiny (k, M) E border — no
@@ -1086,6 +1107,7 @@ def _renorm_sliced_factor_sharded(F, n_slices: int, mesh: Mesh,
     m_e = 0 if F_E is None else F_E.shape[1]
     rng = np.random.default_rng(12345)
     nrm = None
+    sync = _dispatch_sync(mesh)
     if F_E is None:
         v = jax.device_put(
             jnp.asarray(rng.standard_normal(ncols)),
@@ -1094,6 +1116,8 @@ def _renorm_sliced_factor_sharded(F, n_slices: int, mesh: Mesh,
         v = v / jnp.linalg.norm(v)
         for _ in range(iters):
             v, nrm = _gram_apply_sharded_jit(sF_sh, sigF_sh, v, mesh=mesh)
+            if sync:
+                jax.block_until_ready(v)
     else:
         # v in the bordered apply's layout: [n_pad force | M energy].
         v = jnp.asarray(rng.standard_normal(ncols + m_e))
@@ -1104,6 +1128,8 @@ def _renorm_sliced_factor_sharded(F, n_slices: int, mesh: Mesh,
             )  # = F^T (F v)
             nrm = jnp.linalg.norm(u)
             v = u / jnp.maximum(nrm, 1e-300)
+            if sync:
+                jax.block_until_ready(v)
     sigma_sq = float(nrm)
     eps = max(1e-9, 8.0 * np.sqrt(float(k) * (ncols + m_e))
               * 2.0 ** (-ozaki.Q_BITS * n_slices))

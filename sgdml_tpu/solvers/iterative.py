@@ -1372,12 +1372,32 @@ class Iterative:
         # budget (the former 1.5x restart headroom exceeded real HBM).
         n_inducing_pts = min(n_train, max_n_ind)
 
-        # Warm start (resume) support.
+        # Warm start (resume / sigma-grid recycling) support. The
+        # E-constrained unknown vector is [force block | M energy block]:
+        # both blocks are required (a force-only warm start against an
+        # extended RHS was a shape error), and a size mismatch (stale
+        # coefficients from a different split) falls back to cold start.
         alphas0_F = task.get('alphas0_F')
         num_iters0 = int(task.get('solver_iters', 0))
         x0 = None
         if alphas0_F is not None:
-            x0 = -np.asarray(alphas0_F)
+            x0 = -np.asarray(alphas0_F).ravel()
+            if use_E_cstr:
+                alphas0_E = task.get('alphas0_E')
+                x0 = (
+                    None if alphas0_E is None
+                    else np.concatenate(
+                        [x0, -np.asarray(alphas0_E).ravel()]
+                    )
+                )
+            if x0 is not None and x0.size != n:
+                log.warning(
+                    'Ignoring warm-start coefficients of length %d for an '
+                    'n=%d system.', x0.size, n,
+                )
+                x0 = None
+            if x0 is None:
+                num_iters0 = 0
 
         # Inducing points: reuse stored ones when resuming, else leverage
         # scores from a random column probe.
@@ -1811,9 +1831,19 @@ class Iterative:
         self, task, R_desc, R_d_desc, y_std, x, tol, num_iters, resid, b_norm,
         inducing_pts_idxs, save_progr_callback, mv_mm=None,
     ):
-        alphas_F = -np.asarray(x)
+        # E-constrained solves extend x by the M energy unknowns; they
+        # must be split off BEFORE create_model (which reshapes alphas_F
+        # to (M, 3N) — the extended vector isn't divisible by 3N, so
+        # passing it whole crashed the solve at its first checkpoint).
+        x = -np.asarray(x)
+        alphas_E = None
+        alphas_F = x
+        if bool(task.get('use_E_cstr', False)):
+            n_train = int(task['R_train'].shape[0])
+            alphas_E = x[-n_train:]
+            alphas_F = x[:-n_train]
         model = self.gdml_train.create_model(
-            task, 'cg', R_desc, R_d_desc, y_std, alphas_F
+            task, 'cg', R_desc, R_d_desc, y_std, alphas_F, alphas_E=alphas_E
         )
         model.update(
             {

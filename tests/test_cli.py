@@ -346,3 +346,34 @@ def test_train_lazy_skips_failed(dataset_file, tmp_path, monkeypatch):
         )
     )
     assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+def test_train_sigma_grid_warm_starts(dataset_file, tmp_path, monkeypatch):
+    """Across a sigma grid, each task after the first must warm-start
+    from the previous sigma's coefficients (measured 1.06x fewer total
+    CG iterations, never worse than cold — BENCH_NOTES r5), and only
+    when the training split matches."""
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(7)
+    cli.main(
+        [
+            'create', dataset_file, '30', '15', '-s', '6,8,10', '--gdml',
+            '--task_dir', 'tdir_ws',
+        ]
+    )
+    starts = []
+    orig = cli.GDMLTrain.train
+
+    def spy(self, task, **kw):
+        a0 = task.get('alphas0_F')
+        starts.append(None if a0 is None else np.asarray(a0).copy())
+        return orig(self, task, **kw)
+
+    monkeypatch.setattr(cli.GDMLTrain, 'train', spy)
+    cli.main(['train', 'tdir_ws', '--solver', 'cg'])
+    assert len(starts) == 3
+    assert starts[0] is None
+    assert starts[1] is not None and starts[1].any()
+    assert starts[2] is not None and starts[2].any()
+    # The warm start is the PREVIOUS task's solution, so the two differ.
+    assert not np.array_equal(starts[1], starts[2])

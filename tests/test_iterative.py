@@ -716,3 +716,57 @@ def test_auto_factor_slices_resolved_in_solve(ds, monkeypatch):
     out = solver.solve(task, np.asarray(X), np.asarray(Jc), dperms, y, 1.0)
     assert out[6]  # converged
     assert solver._ns() == 8  # tie resolved to the 8-slice default
+
+
+def test_cg_e_cstr_checkpoint_and_resume(ds, monkeypatch):
+    """E-constrained checkpoints must split the extended unknown vector
+    into alphas_F / alphas_E before create_model (passing it whole
+    crashed the solve's first periodic checkpoint: the (M, 3N) reshape
+    of an M*(3N+1)-length vector), and an E-constrained resume must
+    rebuild x0 from BOTH stored blocks (the force block alone is a
+    shape mismatch against the extended RHS)."""
+    from sgdml_tpu.solvers import iterative as it_mod
+
+    monkeypatch.setattr(it_mod, 'CHECKPOINT_INTERVAL_S', 0.0)
+    monkeypatch.setattr(it_mod, 'CG_CHUNK_ITERS', 5)
+
+    # Small budget -> weak preconditioner, so the solve spans several
+    # chunks and the periodic checkpoint genuinely fires mid-solve.
+    trainer = GDMLTrain(max_memory=0.005)
+    np.random.seed(33)
+    task = trainer.create_task(
+        ds, 40, ds, 10, sig=8.0, lam=1e-10, use_sym=False, use_E=True,
+        use_E_cstr=True,
+    )
+    saved = []
+    m = trainer.train(dict(task), solver='cg',
+                      save_progr_callback=saved.append)
+    assert saved, 'periodic checkpoint never fired'
+    n_train, n_atoms = task['R_train'].shape[:2]
+    ck = saved[-1]
+    assert ck['alphas_F'].shape == (n_train * 3 * n_atoms,)
+    assert ck['alphas_E'].shape == (n_train,)
+
+    # Resume: warm start from both blocks, converging near-immediately.
+    resumed = trainer.create_task_from_model(m, ds)
+    assert 'alphas0_F' in resumed and 'alphas0_E' in resumed
+    m2 = trainer.train(resumed, solver='cg')
+    assert m2['solver_iters'] - m['solver_iters'] <= 10
+    assert m2['solver_resid'] <= m2['solver_tol'] * m2['norm_y_train']
+
+
+def test_cg_warm_start_size_mismatch_falls_back(ds, caplog):
+    """Stale warm-start coefficients (wrong length for the system) must
+    be ignored with a warning, not crash the solve."""
+    import logging
+
+    trainer = GDMLTrain()
+    np.random.seed(34)
+    task = trainer.create_task(
+        ds, 30, ds, 10, sig=8.0, lam=1e-10, use_sym=False, use_E=True
+    )
+    task['alphas0_F'] = np.zeros(17)  # wrong length
+    with caplog.at_level(logging.WARNING):
+        m = trainer.train(task, solver='cg')
+    assert m['solver_resid'] <= m['solver_tol'] * m['norm_y_train']
+    assert any('warm-start' in r.message.lower() for r in caplog.records)
